@@ -1,0 +1,256 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline deduplication + text-analysis operators over the
+  * `documents` table: exact dedup, MinHash signatures + LSH candidate pairs
+  * with exact Jaccard verification, SimHash buckets, language-ID heuristic,
+  * quality scoring, token counting, fingerprinting.
+  *
+  * All hashes are md5-based so DuckDB computes bit-identical values.
+  * Ratios divide exact integers in IEEE double (deterministic), rounded to
+  * 6 places on both sides.
+  */
+object DedupQueries {
+
+  private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** doc_id + word-3-gram shingles (ordered). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"tok")
+    TextQueries.tokens(s, dir)
+      .withColumn("w2", lead($"word", 1).over(w))
+      .withColumn("w3", lead($"word", 2).over(w))
+      .filter($"w3".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"word", $"w2", $"w3").as("shingle"))
+  }
+
+  private val shinglesCte: String =
+    s"""${TextQueries.tokensCte}, sh AS (
+      SELECT doc_id, word || ' ' || w2 || ' ' || w3 AS shingle FROM (
+        SELECT doc_id, word,
+          lead(word, 1) OVER (PARTITION BY doc_id ORDER BY tok) AS w2,
+          lead(word, 2) OVER (PARTITION BY doc_id ORDER BY tok) AS w3
+        FROM tk) p WHERE w3 IS NOT NULL
+    )"""
+
+  /** 8 MinHash values: min over shingles of md5 salted per hash index. */
+  private def minhashDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val aggs = (0 until 8).map(j =>
+      min(md5s(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
+    shingles(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  private val minhashSelect: String = {
+    val cols = (0 until 8)
+      .map(j => s"min(md5('$j|' || shingle)) AS mh$j").mkString(", ")
+    s"SELECT doc_id, $cols FROM sh GROUP BY doc_id"
+  }
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // Exact dedup: content-hash grouping; group_size > 1 = duplicate set.
+      "q20_dedup_exact",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", md5s($"text").as("fingerprint"))
+          .withColumn("group_size",
+            count(lit(1)).over(Window.partitionBy($"fingerprint")))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(text) AS fingerprint,
+        COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+        FROM documents ORDER BY doc_id""")
+    ),
+    Q(
+      "q21_minhash_sigs",
+      (s, dir) => {
+        import s.implicits._
+        minhashDf(s, dir).orderBy($"doc_id")
+      },
+      Some(s"$shinglesCte $minhashSelect ORDER BY doc_id")
+    ),
+    Q(
+      // MinHash-LSH near-dup detection: 8 bands of 1 row → candidate pairs
+      // sharing any minhash, then exact shingle-set Jaccard verification.
+      "q22_lsh_jaccard",
+      (s, dir) => {
+        import s.implicits._
+        val mh = minhashDf(s, dir)
+        val bands = (0 until 8).map(j =>
+          mh.select($"doc_id", lit(j).as("band"), col(s"mh$j").as("bucket")))
+        val candidates = bands.reduce(_ unionByName _)
+          .alias("l").join(bands.reduce(_ unionByName _).alias("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+          .distinct()
+        val sets = shingles(s, dir).distinct()
+        val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = candidates
+          .join(sets.select($"doc_id".as("a"), $"shingle"), "a")
+          .join(sets.select($"doc_id".as("b"), $"shingle".as("sh2")), "b")
+          .filter($"shingle" === $"sh2")
+          .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+        candidates
+          .join(inter, Seq("a", "b"), "left_outer")
+          .na.fill(0L, Seq("inter"))
+          .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
+          .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+          .withColumn("jaccard",
+            round($"inter" / ($"na" + $"nb" - $"inter"), 6))
+          .select($"a", $"b", $"inter", $"jaccard")
+          .orderBy($"a", $"b")
+      },
+      Some(s"""$shinglesCte, mh AS ($minhashSelect),
+        bands AS (
+          SELECT doc_id, 0 AS band, mh0 AS bucket FROM mh
+          UNION ALL SELECT doc_id, 1, mh1 FROM mh
+          UNION ALL SELECT doc_id, 2, mh2 FROM mh
+          UNION ALL SELECT doc_id, 3, mh3 FROM mh
+          UNION ALL SELECT doc_id, 4, mh4 FROM mh
+          UNION ALL SELECT doc_id, 5, mh5 FROM mh
+          UNION ALL SELECT doc_id, 6, mh6 FROM mh
+          UNION ALL SELECT doc_id, 7, mh7 FROM mh),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
+          JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+        dsets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsets GROUP BY doc_id),
+        inter AS (
+          SELECT c.a, c.b, COUNT(*) AS inter FROM cand c
+          JOIN dsets x ON x.doc_id = c.a
+          JOIN dsets y ON y.doc_id = c.b AND y.shingle = x.shingle
+          GROUP BY c.a, c.b)
+        SELECT c.a, c.b, COALESCE(i.inter, 0) AS inter,
+          ROUND(COALESCE(i.inter, 0) / (sa.n + sb.n - COALESCE(i.inter, 0)), 6) AS jaccard
+        FROM cand c
+        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN sizes sa ON sa.doc_id = c.a
+        JOIN sizes sb ON sb.doc_id = c.b
+        ORDER BY c.a, c.b""")
+    ),
+    Q(
+      // SimHash: 8-bit signature via per-hex-digit majority vote over the
+      // doc's word hashes; equal signatures = near-dup bucket.
+      "q23_simhash",
+      (s, dir) => {
+        import s.implicits._
+        val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+        val tk = TextQueries.tokens(s, dir)
+          .withColumn("h", md5s($"word"))
+        val bitSums = (0 until 8).map(i =>
+          sum(when(substring($"h", i + 1, 1).isin(hi: _*), 1L).otherwise(0L)).as(s"s$i"))
+        val agg = tk.groupBy($"doc_id")
+          .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+        val bits = (0 until 8).map(i =>
+          when(col(s"s$i") * 2 > col("n"), "1").otherwise("0"))
+        agg.withColumn("simhash", concat(bits: _*))
+          .withColumn("bucket_size",
+            count(lit(1)).over(Window.partitionBy($"simhash")))
+          .select($"doc_id", $"simhash", $"bucket_size")
+          .orderBy($"doc_id")
+      },
+      Some({
+        val sums = (0 until 8).map(i =>
+          s"SUM(CASE WHEN substring(md5(word),${i + 1},1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS s$i")
+          .mkString(", ")
+        val bits = (0 until 8).map(i => s"CASE WHEN s$i * 2 > n THEN '1' ELSE '0' END").mkString(" || ")
+        s"""${TextQueries.tokensCte}, agg AS (
+          SELECT doc_id, $sums, COUNT(*) AS n FROM tk GROUP BY doc_id)
+        SELECT doc_id, simhash,
+          COUNT(*) OVER (PARTITION BY simhash) AS bucket_size FROM (
+          SELECT doc_id, $bits AS simhash FROM agg) x ORDER BY doc_id"""
+      })
+    ),
+    Q(
+      // Language-ID heuristic: vowel-final ratio + mean word length (n-gram
+      // heuristic stand-in; deterministic, no model).
+      "q24_langid",
+      (s, dir) => {
+        import s.implicits._
+        TextQueries.tokens(s, dir)
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when($"word".rlike("[aeiou]$"), 1L).otherwise(0L)).as("vf"),
+            sum(length($"word")).as("chars"))
+          .withColumn("vowel_ratio", round($"vf" / $"n", 6))
+          .withColumn("avg_len", round($"chars" / $"n", 6))
+          .withColumn("lang_guess",
+            when($"vowel_ratio" > 0.4, "es")
+              .when($"avg_len" > 4.5, "de")
+              .otherwise("en"))
+          .select($"doc_id", $"vowel_ratio", $"avg_len", $"lang_guess")
+          .orderBy($"doc_id")
+      },
+      Some(s"""${TextQueries.tokensCte}
+        SELECT doc_id, vowel_ratio, avg_len,
+          CASE WHEN vowel_ratio > 0.4 THEN 'es'
+               WHEN avg_len > 4.5 THEN 'de' ELSE 'en' END AS lang_guess
+        FROM (
+          SELECT doc_id,
+            ROUND(SUM(CASE WHEN regexp_matches(word, '[aeiou]$$') THEN 1 ELSE 0 END) / COUNT(*), 6) AS vowel_ratio,
+            ROUND(SUM(length(word)) / COUNT(*), 6) AS avg_len
+          FROM tk GROUP BY doc_id) a ORDER BY doc_id""")
+    ),
+    Q(
+      // Quality scoring: stopword ratio, type/token ratio, length stats.
+      "q25_quality",
+      (s, dir) => {
+        import s.implicits._
+        val stop = Seq("the", "a", "of", "and", "in", "to")
+        TextQueries.tokens(s, dir)
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            countDistinct($"word").as("n_types"),
+            sum(when($"word".isin(stop: _*), 1L).otherwise(0L)).as("n_stop"))
+          .withColumn("stop_ratio", round($"n_stop" / $"n_words", 6))
+          .withColumn("ttr", round($"n_types" / $"n_words", 6))
+          .select($"doc_id", $"n_words", $"n_types", $"stop_ratio", $"ttr")
+          .orderBy($"doc_id")
+      },
+      Some(s"""${TextQueries.tokensCte}
+        SELECT doc_id, COUNT(*) AS n_words, COUNT(DISTINCT word) AS n_types,
+          ROUND(SUM(CASE WHEN word IN ('the','a','of','and','in','to') THEN 1 ELSE 0 END) / COUNT(*), 6) AS stop_ratio,
+          ROUND(COUNT(DISTINCT word) / COUNT(*), 6) AS ttr
+        FROM tk GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    Q(
+      // Token counting: whitespace split vs. regex extraction.
+      "q26_tokcount",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            size(split($"text", "\\s+")).cast("bigint").as("n_ws"),
+            size(regexp_extract_all($"text", lit("[a-z]+"), lit(0))).cast("bigint").as("n_re"),
+            $"n_chars")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+        len(string_split_regex(text, '\s+')) AS n_ws,
+        len(regexp_extract_all(text, '[a-z]+')) AS n_re,
+        n_chars FROM documents ORDER BY doc_id""")
+    ),
+    Q(
+      // Document fingerprint: md5 over whitespace-normalized lowercase text.
+      "q27_fingerprint",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            md5s(trim(regexp_replace(lower($"text"), "\\s+", " "))).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents ORDER BY doc_id""")
+    )
+  )
+}
