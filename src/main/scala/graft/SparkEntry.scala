@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Q, Relational, TextQueries, DedupQueries, AnnQueries}
+import graft.queries.{Q, Relational, TextQueries, DedupQueries, AnnQueries, KgQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,11 +12,13 @@ import graft.queries.{Q, Relational, TextQueries, DedupQueries, AnnQueries}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    Relational.all ++ TextQueries.all ++ DedupQueries.all ++ AnnQueries.all
+    Relational.all ++ TextQueries.all ++ DedupQueries.all ++ AnnQueries.all ++ KgQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full KG-construction pipeline (spans → parse → analyze cascade →
+    * triples) at sf0.001 scale. */
   def entry(spark: SparkSession): DataFrame =
-    TextQueries.all.find(_.name == "q15_conll_triples").get
+    KgQueries.all.find(_.name == "kg_pipeline_analyze").get
       .run(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */

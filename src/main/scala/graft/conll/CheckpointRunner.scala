@@ -1,0 +1,68 @@
+package graft.conll
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import Rules.Script
+
+/** Checkpoint-resumable pipeline execution with per-partition lineage and
+  * metrics (north_rule: "resumable from checkpoint with per-partition
+  * lineage + metrics").
+  *
+  * Work is split into `nBuckets` doc-hash buckets; each bucket is one
+  * restartable unit written to `outDir/bucket=<b>/` with a manifest marker
+  * `outDir/_manifest/bucket-<b>.json` recording lineage (doc range, rows,
+  * wall ms). On restart, completed buckets are skipped. Marker files are
+  * written AFTER the bucket's parquet commit, so a crash between the two
+  * re-runs the bucket — output is overwrite-idempotent, never partial.
+  *
+  * At cluster scale each bucket is itself fully parallel (it is a filter
+  * over the input, processed by all executors); buckets bound the blast
+  * radius of a failure, they do not serialize the work — pick nBuckets
+  * around the number of desired resume points, not the cluster size.
+  */
+object CheckpointRunner {
+
+  final case class BucketLineage(
+      bucket: Int, doc_min: String, doc_max: String,
+      rows: Long, wall_ms: Long, status: String)
+
+  def run(
+      spark: SparkSession,
+      docs: Dataset[InputDoc],
+      cols: Seq[String],
+      scripts: Seq[(Script, Int)],
+      outDir: String,
+      nBuckets: Int = 8
+  ): DataFrame = {
+    import spark.implicits._
+    val manifestDir = Paths.get(outDir, "_manifest")
+    Files.createDirectories(manifestDir)
+
+    def markerPath(b: Int) = manifestDir.resolve(s"bucket-$b.json")
+    def isDone(b: Int) = Files.exists(markerPath(b))
+
+    for (b <- 0 until nBuckets if !isDone(b)) {
+      val t0 = System.nanoTime()
+      val subset = docs.filter(pmod(xxhash64($"doc_id"), lit(nBuckets)) === b)
+      val out = Pipeline.triples(Pipeline.rewrite(Pipeline.parse(subset, cols), scripts))
+      out.write.mode("overwrite").parquet(s"$outDir/bucket=$b")
+      val written = spark.read.parquet(s"$outDir/bucket=$b")
+      val stats = written.agg(
+        min($"doc_id").as("mn"), max($"doc_id").as("mx"), count(lit(1)).as("n")).head()
+      val lin = BucketLineage(b,
+        Option(stats.getString(0)).getOrElse(""), Option(stats.getString(1)).getOrElse(""),
+        stats.getLong(2), (System.nanoTime() - t0) / 1000000L, "done")
+      val json =
+        s"""{"bucket":${lin.bucket},"doc_min":"${lin.doc_min}","doc_max":"${lin.doc_max}",""" +
+          s""""rows":${lin.rows},"wall_ms":${lin.wall_ms},"status":"${lin.status}"}"""
+      Files.write(markerPath(b), json.getBytes("UTF-8"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    spark.read.parquet((0 until nBuckets).map(b => s"$outDir/bucket=$b"): _*)
+  }
+
+  /** The lineage table reconstructed from the manifest markers. */
+  def lineage(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.json(s"$outDir/_manifest/bucket-*.json")
+}

@@ -1,0 +1,60 @@
+package graft.conll
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mention detection + entity linking against a gazetteer, plus
+  * connected-components canonicalization (north_rule extensions; the
+  * reference has no analog — its skew unit is one sentence).
+  *
+  * Two join strategies:
+  *  - `linkBroadcast`: gazetteers that fit on executors (the common case —
+  *    OLiA-style models are tiny) → broadcast-hash join, zero shuffle.
+  *  - `linkSalted`: huge gazetteers with Zipf-skewed surfaces → shuffle
+  *    join with explicit key salting: the mention side gets a random salt
+  *    in [0, S), the gazetteer side is exploded ×S, so one hot surface
+  *    ("the") spreads over S reducers instead of one straggler. AQE
+  *    skew-join splitting is complementary (post-hoc splitting of oversize
+  *    partitions); explicit salting guards the pathological head key.
+  */
+object EntityLinker {
+
+  /** mentions = conll:WORD triples; returns new (subj, conll:ENTITY, id) rows. */
+  private def mentions(triples: DataFrame): DataFrame =
+    triples.filter(col("pred") === "conll:WORD")
+      .select(col("doc_id"), col("sent"), col("subj"), lower(col("obj")).as("surface"))
+
+  def linkBroadcast(triples: DataFrame, gazetteer: DataFrame): DataFrame =
+    mentions(triples)
+      .join(broadcast(gazetteer), "surface")
+      .select(col("doc_id"), col("sent"), col("subj"),
+        lit("conll:ENTITY").as("pred"),
+        col("entity_id").as("obj"), lit(true).as("obj_is_uri"))
+
+  def linkSalted(triples: DataFrame, gazetteer: DataFrame, saltBuckets: Int = 16): DataFrame = {
+    val m = mentions(triples)
+      // deterministic pseudo-salt: spreads each hot surface's mentions
+      // across buckets without an RNG (resume-safe)
+      .withColumn("salt", pmod(xxhash64(col("subj")), lit(saltBuckets)))
+    val g = gazetteer
+      .withColumn("salt", explode(sequence(lit(0), lit(saltBuckets - 1))))
+    m.join(g, Seq("surface", "salt"))
+      .select(col("doc_id"), col("sent"), col("subj"),
+        lit("conll:ENTITY").as("pred"),
+        col("entity_id").as("obj"), lit(true).as("obj_is_uri"))
+  }
+
+  /** Derive a deterministic gazetteer from a vocabulary DataFrame(word). */
+  def gazetteerFromVocab(vocab: DataFrame): DataFrame =
+    vocab.select(lower(col("word")).as("surface")).distinct()
+      .withColumn("entity_id", concat(lit("ent:"), substring(md5(col("surface").cast("binary")), 1, 12)))
+
+  /** Canonicalize entity ids over sameAs evidence via connected components;
+    * rewrites linked triples' objects to the canonical (minimum) id. */
+  def canonicalize(spark: SparkSession, linked: DataFrame, sameAs: DataFrame): DataFrame = {
+    val comp = graft.operators.ConnectedComponents.run(spark, sameAs)
+    linked.join(broadcast(comp), linked("obj") === comp("node"), "left_outer")
+      .withColumn("obj", coalesce(col("component"), col("obj")))
+      .drop("node", "component")
+  }
+}

@@ -1,0 +1,58 @@
+package graft.conll
+
+import Rules._
+
+/** Hand-compiled linking scripts from /root/reference/examples/sparql/link/,
+  * parametrized by driver-precomputed (and Spark-broadcast) ontology
+  * closures instead of per-sentence property-path walks (SURVEY §2.4 U12c).
+  */
+object LinkScripts {
+
+  /** link/link-UPOS-simple.sparql:14-25 — type each word with every OLiA
+    * concept reachable from its UPOS tag's annotation-model class. */
+  def linkUposSimple(tagToConcepts: Map[String, Seq[String]]): Script =
+    Script("link-UPOS-simple", Seq(
+      stage { (g, out) =>
+        for ((w, pos, _) <- g.pairs(conll("UPOS"));
+             c <- tagToConcepts.getOrElse(pos, Seq.empty))
+          out.insUri(w, A, c)
+      }
+    ))
+
+  /** Exact-tag mode of link/link-penn-POS.sparql over conll:POS. */
+  def linkPennPos(tagToConcepts: Map[String, Seq[String]]): Script =
+    Script("link-penn-POS", Seq(
+      stage { (g, out) =>
+        for ((w, pos, _) <- g.pairs(conll("POS"));
+             c <- tagToConcepts.getOrElse(pos, Seq.empty))
+          out.insUri(w, A, c)
+      }
+    ))
+
+  /** link/infer-olia-concepts.sparql — close types over
+    * (subClassOf|equivalentClass)+ within the reference namespace. */
+  def inferOliaConcepts(supers: Map[String, Seq[String]]): Script =
+    Script("infer-olia-concepts", Seq(
+      stage { (g, out) =>
+        for ((w, c, _) <- g.pairs(A) if c.startsWith("olia:");
+             sup <- supers.getOrElse(c, Seq.empty))
+          out.insUri(w, A, sup)
+      }
+    ))
+
+  /** link/remove-annotation-model.sparql — delete triples mentioning
+    * annotation-model namespaces (anything OLiA-flavored that is not the
+    * reference model). In our prefix encoding the annotation models are
+    * `ud:` / `penn:`; the reference model is `olia:`. */
+  def removeAnnotationModel(isAnnotationNs: String => Boolean = defaultAnnotationNs): Script =
+    Script("remove-annotation-model", Seq(
+      stage { (g, out) =>
+        for (t <- g.all
+             if isAnnotationNs(t.s) || isAnnotationNs(t.p) || (t.oUri && isAnnotationNs(t.o)))
+          out.dels += t
+      }
+    ))
+
+  def defaultAnnotationNs(uri: String): Boolean =
+    uri.startsWith("ud:") || uri.startsWith("penn:")
+}

@@ -1,0 +1,129 @@
+package graft.conll
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
+import Rules.Script
+
+/** End-to-end KG-construction pipeline (SURVEY §3.4):
+  *
+  *   docs(spans) → parse (flatMap, narrow) → Dataset[Sentence]
+  *     → rewrite cascade (map, narrow, per-sentence fixpoints)
+  *     → entity link (broadcast gazetteer join)
+  *     → triples DataFrame (long format, partitioned write)
+  *
+  * Everything between the initial scan and the final write is
+  * shuffle-free: parsing and rewriting are per-document/per-sentence
+  * narrow transforms, linking is a broadcast join. At 100 TB the job is
+  * embarrassingly parallel over input splits; the only shuffles are the
+  * optional canonicalization (ConnectedComponents) and any downstream
+  * analytics.
+  */
+object Pipeline {
+
+  final case class Metrics(
+      sentencesIn: LongAccumulator,
+      triplesOut: LongAccumulator,
+      perScript: Map[String, (LongAccumulator, LongAccumulator)] // iterations, wallNanos
+  ) {
+    def toDf(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      val rows = perScript.toSeq.map { case (name, (it, ns)) =>
+        (name, it.value, ns.value / 1000000L)
+      }
+      rows.toDF("script", "iterations", "wall_ms")
+        .withColumn("sentences", lit(sentencesIn.value))
+        .withColumn("triples_out", lit(triplesOut.value))
+    }
+  }
+
+  def newMetrics(spark: SparkSession, scripts: Seq[(Script, Int)]): Metrics = Metrics(
+    spark.sparkContext.longAccumulator("sentences_in"),
+    spark.sparkContext.longAccumulator("triples_out"),
+    scripts.map { case (s, _) =>
+      s.name -> (
+        spark.sparkContext.longAccumulator(s"${s.name}.iterations"),
+        spark.sparkContext.longAccumulator(s"${s.name}.nanos"))
+    }.toMap
+  )
+
+  /** Parse span sequences into sentence graphs. Narrow (flatMap). */
+  def parse(docs: Dataset[InputDoc], cols: Seq[String]): Dataset[Sentence] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap(d => SpanParser.parseDoc(d, cols))
+  }
+
+  /** Run the rewrite cascade per sentence, to fixpoint per script, with
+    * accumulator-backed metrics (reference per-update statistics,
+    * CoNLLRDFUpdater.java:100,921-934). Narrow (map). */
+  def rewrite(
+      sents: Dataset[Sentence],
+      scripts: Seq[(Script, Int)],
+      metrics: Option[Metrics] = None
+  ): Dataset[Sentence] = {
+    import sents.sparkSession.implicits._
+    sents.map { sentence =>
+      metrics.foreach(_.sentencesIn.add(1))
+      val g = SentGraph(sentence)
+      for ((script, maxIter) <- scripts) {
+        val t0 = System.nanoTime()
+        val iters = script.run(g, maxIter)
+        metrics.flatMap(_.perScript.get(script.name)).foreach { case (it, ns) =>
+          it.add(iters); ns.add(System.nanoTime() - t0)
+        }
+      }
+      metrics.foreach(_.triplesOut.add(g.size))
+      SentGraph.toSentence(sentence.docId, sentence.sent, sentence.comments, g)
+    }
+  }
+
+  /** Explode sentence graphs into the long (subj,pred,obj) contract table. */
+  def triples(sents: Dataset[Sentence]): Dataset[TripleRow] = {
+    import sents.sparkSession.implicits._
+    sents.flatMap(s =>
+      s.triples.map(t => TripleRow(s.docId, s.sent, t.s, t.p, t.o, t.oUri)))
+  }
+
+  /** Doc-level output table: the original rows (doc_id, spans untouched —
+    * the per-row span-sequence invariant) plus derived stats. */
+  def docsOut(
+      docs: Dataset[InputDoc],
+      cols: Seq[String],
+      scripts: Seq[(Script, Int)]
+  ): DataFrame = {
+    val t = triples(rewrite(parse(docs, cols), scripts))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sent")).as("n_sentences"), count(lit(1)).as("n_triples"))
+    docs.toDF.join(t, Seq("doc_id"), "left_outer")
+  }
+
+  /** The analyze-ud cascade (examples/analyze-ud.json):
+    * remove-IGNORE → UPOS-to-POSsynt → EDGE-to-POSsynt → consolidate. */
+  def analyzeCascade: Seq[(Script, Int)] = Seq(
+    AnalyzeScripts.removeIgnore -> 1,
+    AnalyzeScripts.uposToPossynt -> 1,
+    AnalyzeScripts.edgeToPossynt -> 1,
+    AnalyzeScripts.consolidatePossynt -> 1
+  )
+
+  /** The link-ud cascade over the bundled mini ontology. */
+  def linkCascade: Seq[(Script, Int)] = {
+    val t2c = Ontology.tagToConcepts(Ontology.miniOlia, Ontology.GRAPH_UD, Ontology.keepOlia)
+    val sup = Ontology.superClosure(Ontology.miniOlia, Ontology.GRAPH_UD, Ontology.keepOlia)
+    Seq(
+      LinkScripts.linkUposSimple(t2c) -> 1,
+      LinkScripts.inferOliaConcepts(sup) -> 1,
+      LinkScripts.removeAnnotationModel() -> 1
+    )
+  }
+
+  /** The parse-ud cascade: penn linking + SR parser generations. */
+  def parseCascade: Seq[(Script, Int)] = {
+    val t2c = Ontology.tagToConcepts(Ontology.miniOlia, Ontology.GRAPH_PENN, Ontology.keepOlia)
+    val sup = Ontology.superClosure(Ontology.miniOlia, Ontology.GRAPH_PENN, Ontology.keepOlia)
+    Seq(
+      LinkScripts.linkPennPos(t2c) -> 1,
+      LinkScripts.inferOliaConcepts(sup) -> 1
+    ) ++ ParseScripts.cascade
+  }
+}

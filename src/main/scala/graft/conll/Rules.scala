@@ -1,0 +1,80 @@
+package graft.conll
+
+import java.util.regex.Pattern
+import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
+
+/** Rewrite-rule framework: SPARQL-Update semantics over a SentGraph
+  * (SURVEY §2.3 U1–U6).
+  *
+  * A Script is a sequence of statements executed in order, each seeing the
+  * previous statement's effects (U2, CoNLLRDFUpdater.java:346-366). One
+  * statement evaluates its WHERE against the pre-statement graph state,
+  * collects all bindings, then applies all DELETEs followed by all INSERTs
+  * (SPARQL 1.1 Update §3.1.3 semantics, as Jena executes them). Scripts
+  * iterate to fixpoint with change detection capped at MAXITERATE=999
+  * (U3, CoNLLRDFComponent.java:11-15).
+  */
+object Rules {
+
+  val MAXITERATE = 999
+
+  /** A statement: graph → (deletes, inserts), computed without mutating. */
+  type Stage = SentGraph => (Seq[Triple], Seq[Triple])
+
+  final case class Script(name: String, stages: Seq[Stage]) {
+
+    def runOnce(g: SentGraph): Unit =
+      stages.foreach { st =>
+        val (dels, ins) = st(g)
+        dels.foreach(g.remove)
+        ins.foreach(g.add)
+      }
+
+    /** Run the whole script up to `maxIter` times while the graph changes
+      * (reference `{n}` / `{u}` iteration suffix; default 1).
+      * @return iterations actually executed. */
+    def run(g: SentGraph, maxIter: Int = 1): Int = {
+      val cap = math.min(math.max(maxIter, 1), MAXITERATE)
+      var it = 0
+      var changed = true
+      while (changed && it < cap) {
+        val v0 = g.version
+        runOnce(g)
+        it += 1
+        changed = g.version != v0
+      }
+      it
+    }
+  }
+
+  private val patterns = TrieMap.empty[String, Pattern]
+
+  /** SPARQL regex(): partial match, like Jena's. */
+  def re(v: String, p: String): Boolean =
+    patterns.getOrElseUpdate(p, Pattern.compile(p)).matcher(v).find()
+
+  // ---- shared vocabulary ----
+  val A = "rdf:type"
+  val NEXT_WORD = "nif:nextWord"
+  val NEXT_SENT = "nif:nextSentence"
+  val WORD_TYPE = "nif:Word"
+  def conll(c: String) = s"conll:$c"
+
+  /** Collector DSL: stages append into these buffers. */
+  final class Out {
+    val dels = mutable.ArrayBuffer[Triple]()
+    val ins = mutable.ArrayBuffer[Triple]()
+    def del(s: String, p: String, o: String, uri: Boolean = true): Unit =
+      dels += Triple(s, p, o, uri)
+    def insUri(s: String, p: String, o: String): Unit = ins += Triple(s, p, o, oUri = true)
+    def insLit(s: String, p: String, o: String): Unit = ins += Triple(s, p, o, oUri = false)
+    def result: (Seq[Triple], Seq[Triple]) = (dels.toSeq, ins.toSeq)
+  }
+
+  def stage(f: (SentGraph, Out) => Unit): Stage = { g =>
+    val out = new Out
+    f(g, out)
+    out.result
+  }
+}

@@ -1,0 +1,109 @@
+package graft.conll
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Sinks (SURVEY §2.2).
+  *
+  *  - K4 sorted N-Triples: the reference's own diff-oracle format
+  *    (CoNLLRDFUpdater.produceNTRIPLES, CoNLLRDFUpdater.java:453-477) —
+  *    one expanded triple per line, lexicographically sorted.
+  *  - K1 canonical CoNLL-RDF TTL: per-token predicate ordering and
+  *    "lexiconumeric" line sort (CoNLLRDFFormatter.reorderTTLBuffer,
+  *    CoNLLRDFFormatter.java:418-503; sort key :485-492).
+  *  - K2 CoNLL TSV export: one shuffle — groupBy+pivot over the predicate
+  *    set, word order from the token ordinal window, multi-values joined
+  *    by '|', '_' fills (CoNLLRDFFormatter.columnsAsSelect, :506-569).
+  */
+object Serializers {
+
+  /** Prefix expansion (Format2RDF.writePrefixes, Format2RDF.java:135-146). */
+  val prefixes: Map[String, String] = Map(
+    "conll:" -> "http://ufal.mff.cuni.cz/conll2009-st/task-description.html#",
+    "nif:" -> "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#",
+    "rdf:type" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+    "rdf:" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:" -> "http://www.w3.org/2002/07/owl#",
+    "olia:" -> "http://purl.org/olia/olia.owl#",
+    "x:" -> "http://example.org/xml#"
+  )
+
+  def expand(term: String, base: String): String =
+    if (term.startsWith(":")) base + term.substring(1)
+    else prefixes.collectFirst {
+      case (p, full) if term.startsWith(p) && p.endsWith(":") => full + term.substring(p.length)
+    }.getOrElse(if (term == "rdf:type") prefixes("rdf:type") else term)
+
+  /** K4: expanded, lexicographically sorted N-Triples lines. One output
+    * partition per input partition; global sort only when `globalSort`. */
+  def toSortedNTriples(triples: Dataset[TripleRow], globalSort: Boolean = true): Dataset[String] = {
+    import triples.sparkSession.implicits._
+    val lines = triples.map { t =>
+      val base = s"urn:graft:${t.doc_id}#"
+      val s = s"<${expand(t.subj, base)}>"
+      val p = s"<${expand(if (t.pred == "rdf:type") "rdf:type" else t.pred, base)}>"
+      val o =
+        if (t.obj_is_uri) s"<${expand(t.obj, base)}>"
+        else "\"" + t.obj.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"$s $p $o ."
+    }
+    if (globalSort) lines.orderBy($"value") else lines.sortWithinPartitions($"value")
+  }
+
+  /** Lexiconumeric sort key: digit runs zero-padded to width 64
+    * (CoNLLRDFFormatter.java:485-492). */
+  def lexiconumericKey(s: String): String =
+    "([0-9]+)".r.replaceAllIn(s, m => f"${BigInt(m.group(1))}%064d")
+
+  /** K1: one canonical TTL block per sentence. Property order: rdf:type
+    * first, conll:WORD, declared columns in order, everything else
+    * (sorted), nif:nextWord last; subject lines sorted lexiconumerically. */
+  def toCanonicalTtl(sentence: Sentence, cols: Seq[String]): String = {
+    val bySubj = sentence.triples.groupBy(_.s)
+    def orderKey(p: String): (Int, String) = p match {
+      case "rdf:type" => (0, "")
+      case "conll:WORD" => (1, "")
+      case c if c.startsWith("conll:") && cols.contains(c.stripPrefix("conll:")) =>
+        (2 + cols.indexOf(c.stripPrefix("conll:")), "")
+      case "nif:nextWord" => (1000000, "")
+      case other => (500000, other)
+    }
+    val lines = bySubj.toSeq.map { case (subj, ts) =>
+      val props = ts.sortBy(t => (orderKey(t.p), t.o)).map { t =>
+        val o = if (t.oUri) t.o else "\"" + t.o + "\""
+        if (t.p == "rdf:type") s"a ${t.o}" else s"${t.p} $o"
+      }
+      s"$subj ${props.mkString("; ")} ."
+    }
+    lines.sortBy(lexiconumericKey).mkString("\n")
+  }
+
+  /** K2: CoNLL TSV reconstruction as a DataFrame with one column per
+    * declared label plus (doc_id, sent, tok). Single shuffle:
+    * groupBy(doc,sent,subj) + pivot on predicate. */
+  def toConllTsv(triples: DataFrame, cols: Seq[String]): DataFrame = {
+    val colPreds = cols.map(c => s"conll:$c")
+    val prepared = triples
+      .filter(col("pred").isin(colPreds: _*))
+      .withColumn("cell",
+        when(col("obj_is_uri") && col("pred").rlike("(?i)^conll:HEAD[0-9]*$"),
+          regexp_extract(col("obj"), "_([0-9]+)$", 1))
+          .otherwise(col("obj")))
+    val pivoted = prepared
+      .groupBy(col("doc_id"), col("sent"), col("subj"))
+      .pivot("pred", colPreds)
+      .agg(array_join(array_sort(collect_list(col("cell"))), "|"))
+    val tok = regexp_extract(col("subj"), "_([0-9]+)$", 1).cast("int")
+    val out = pivoted
+      .withColumn("tok", tok)
+      .filter(col("tok") > 0) // drop the sentence node
+    val renamed = colPreds.zip(cols).foldLeft(out) { case (df, (p, c)) =>
+      df.withColumn(c,
+        when(col(s"`$p`").isNull || col(s"`$p`") === "", "_").otherwise(col(s"`$p`")))
+        .drop(p)
+    }
+    renamed.select((Seq(col("doc_id"), col("sent"), col("tok")) ++ cols.map(col)): _*)
+  }
+}

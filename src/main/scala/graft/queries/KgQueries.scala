@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.conll._
+
+/** Full-fidelity KG pipeline entries (not SQL-expressible → rows-only
+  * driver checks; correctness is covered by the ScalaTest golden suites
+  * on hand-derived reference semantics).
+  *
+  * Input is the deterministic span-table generator (BASELINE.json
+  * input_hint shape); document count scales with the sf directory so
+  * bench runs grow with scale factor.
+  */
+object KgQueries {
+
+  def nDocsFor(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max((sf * 100000).toLong, 100L)
+  }
+
+  private def docs(s: SparkSession, dir: String) = DocGen.docs(s, nDocsFor(dir))
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // analyze-ud cascade: parse → remove-IGNORE → UPOS/EDGE-to-POSsynt →
+      // consolidate → triples
+      "kg_pipeline_analyze",
+      (s, dir) => Pipeline.triples(
+        Pipeline.rewrite(Pipeline.parse(docs(s, dir), DocGen.columns),
+          Pipeline.analyzeCascade)).toDF,
+      None
+    ),
+    Q(
+      // parse-ud cascade: penn link → SR-parser generations → REDUCE-to-HEAD
+      "kg_pipeline_parse",
+      (s, dir) => Pipeline.triples(
+        Pipeline.rewrite(Pipeline.parse(docs(s, dir), DocGen.columns),
+          Pipeline.parseCascade)).toDF,
+      None
+    ),
+    Q(
+      // link-ud cascade + gazetteer entity links + CC canonicalization
+      "kg_pipeline_link",
+      (s, dir) => {
+        import s.implicits._
+        val t = Pipeline.triples(
+          Pipeline.rewrite(Pipeline.parse(docs(s, dir), DocGen.columns),
+            Pipeline.linkCascade)).toDF
+        val vocab = t.filter($"pred" === "conll:WORD").select($"obj".as("word"))
+        val gaz = EntityLinker.gazetteerFromVocab(vocab)
+        t.unionByName(EntityLinker.linkBroadcast(t, gaz))
+      },
+      None
+    ),
+    Q(
+      // K2 sink: CoNLL TSV reconstruction from triples
+      "kg_conll_export",
+      (s, dir) => {
+        val t = Pipeline.triples(Pipeline.parse(docs(s, dir), DocGen.columns)).toDF
+        Serializers.toConllTsv(t, DocGen.columns)
+      },
+      None
+    ),
+    Q(
+      // K4 sink: sorted N-Triples diff-oracle lines
+      "kg_sorted_ntriples",
+      (s, dir) => {
+        val t = Pipeline.triples(Pipeline.parse(docs(s, dir), DocGen.columns))
+        Serializers.toSortedNTriples(t).toDF("line")
+      },
+      None
+    )
+  )
+}

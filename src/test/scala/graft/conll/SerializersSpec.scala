@@ -1,0 +1,84 @@
+package graft.conll
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SerializersSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private val cols = Seq("ID", "WORD", "UPOS", "HEAD", "EDGE")
+
+  private def sentences(rows: Seq[String]): Seq[Sentence] = {
+    val spans = (rows :+ "").zipWithIndex.map { case (r, i) =>
+      Span(if (r.isEmpty) "sentence_break" else "token", r, "", i)
+    }
+    SpanParser.parseDoc(InputDoc("d1", spans), cols)
+  }
+
+  test("canonical TTL: property order and lexiconumeric line sort (K1)") {
+    val s = sentences(Seq(
+      "1\tthe\tDET\t2\tdet",
+      "2\tfox\tNOUN\t0\troot"
+    )).head
+    val ttl = Serializers.toCanonicalTtl(s, cols)
+    val lines = ttl.split("\n")
+    // sentence node sorts before tokens (s1_0 < s1_1 numerically)
+    assert(lines(0).startsWith(":s1_0 a nif:Sentence"))
+    // reference order: a nif:Word, conll:WORD, then user columns
+    // (CoNLLRDFFormatter.reorderTTLBuffer, CoNLLRDFFormatter.java:418-503)
+    assert(lines(1).startsWith(":s1_1 a nif:Word; conll:WORD \"the\"; conll:ID \"1\""))
+    // nextWord is the last property on the token line
+    assert(lines(1).endsWith("nif:nextWord :s1_2 ."))
+  }
+
+  test("lexiconumeric key: s1_10 sorts after s1_2") {
+    val k = Serializers.lexiconumericKey _
+    assert(k(":s1_2") < k(":s1_10"))
+    assert(":s1_10" < ":s1_2") // plain lexicographic would invert
+  }
+
+  test("sorted N-Triples expands prefixes and sorts (K4)") {
+    import spark.implicits._
+    val s = sentences(Seq("1\tfox\tNOUN\t0\troot")).head
+    val ds = spark.createDataset(
+      s.triples.map(t => TripleRow("d1", 1L, t.s, t.p, t.o, t.oUri)))
+    val lines = Serializers.toSortedNTriples(ds).collect()
+    assert(lines.sameElements(lines.sorted))
+    assert(lines.exists(_.contains("<http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#Word>")))
+    assert(lines.exists(_.startsWith("<urn:graft:d1#s1_1>")))
+  }
+
+  test("CoNLL TSV export reconstructs the original rows (K2 roundtrip)") {
+    import spark.implicits._
+    val rows = Seq(
+      "1\tthe\tDET\t3\tdet",
+      "2\tquick\tADJ\t3\tamod",
+      "3\tfox\tNOUN\t0\troot"
+    )
+    val sents = sentences(rows)
+    val t = spark.createDataset(sents.flatMap(s =>
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri))))
+    val out = Serializers.toConllTsv(t.toDF, cols)
+      .orderBy($"sent", $"tok")
+      .select($"ID", $"WORD", $"UPOS", $"HEAD", $"EDGE")
+      .as[(String, String, String, String, String)]
+      .collect()
+      .map(r => Seq(r._1, r._2, r._3, r._4, r._5).mkString("\t"))
+    assert(out.toSeq == rows)
+  }
+
+  test("CoNLL TSV export: multi-values joined by '|', missing cells '_'") {
+    import spark.implicits._
+    val t = Seq(
+      TripleRow("d1", 1L, ":s1_1", "rdf:type", "nif:Word", true),
+      TripleRow("d1", 1L, ":s1_1", "conll:WORD", "x", false),
+      TripleRow("d1", 1L, ":s1_1", "conll:UPOS", "NOUN", false),
+      TripleRow("d1", 1L, ":s1_1", "conll:UPOS", "PROPN", false)
+    ).toDS
+    val out = Serializers.toConllTsv(t.toDF, Seq("WORD", "UPOS", "EDGE")).collect().head
+    assert(out.getAs[String]("UPOS") == "NOUN|PROPN")
+    assert(out.getAs[String]("EDGE") == "_")
+  }
+}
