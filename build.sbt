@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Xms=Xmx: heap-expansion churn under 32 allocation-heavy threads
+  // otherwise produces order-of-magnitude run-to-run variance
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)

@@ -40,17 +40,120 @@ object SpanParser {
   private val ArgsSuffix = "[\\-_]*[Aa][rR][gG][sS]$"
 
   def escapeLit(v: String): String =
-    v.replace("&", "&amp;").replace("\"", "&quot;").replace("\\", "\\\\")
+    if (v.indexOf('&') < 0 && v.indexOf('"') < 0 && v.indexOf('\\') < 0) v
+    else v.replace("&", "&amp;").replace("\"", "&quot;").replace("\\", "\\\\")
 
-  def isEmptyCell(v: String): Boolean = EmptyCell.matcher(v).matches()
+  /** `^(O|-|--|_|__)?$` without the regex engine (hot path). */
+  def isEmptyCell(v: String): Boolean = v.length match {
+    case 0 => true
+    case 1 => v == "O" || v == "-" || v == "_"
+    case 2 => v == "--" || v == "__"
+    case _ => false
+  }
+
+  private def isInteger(v: String): Boolean = {
+    if (v.isEmpty) return false
+    var i = if (v.charAt(0) == '-') 1 else 0
+    if (i >= v.length) return false
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
+  }
 
   /** Parse one document's span sequence into sentences.
     *
     * @param cols declared column labels (positional); overridden by a
     *             `# global.columns = ...` comment if present.
     */
+  /** Per-schema metadata, computed once per columns vector (hot path:
+    * avoids regex + string building per cell). */
+  private[conll] final class SchemaMeta(val cs: Vector[String]) {
+    val isHead: Array[Boolean] = cs.map(_.toUpperCase.matches("^HEAD[0-9]*$")).toArray
+    val colPred: Array[String] = cs.map(c => s"conll:$c").toArray
+    val hasHead: Boolean = isHead.exists(identity)
+    val hasArgs: Boolean = cs.nonEmpty && cs.last.toLowerCase.matches(".*args$")
+    // predicate-marker column: ARGs label with the whole -ARGs suffix
+    // stripped (CoNLL2RDF.java:148); subPropertyOf target keeps -ARG,
+    // dropping only the trailing s (CoNLL2RDF.java:146)
+    val predColName: String = if (hasArgs) cs.last.replaceAll(ArgsSuffix, "") else ""
+    val argBase: String =
+      if (hasArgs) cs.last.replaceFirst("([\\-_]*[Aa][rR][gG])[sS]$", "$1") else ""
+    val predCol: Int = if (hasArgs) cs.indexOf(predColName) else -1
+    val idCol: Int = cs.indexWhere(_.equalsIgnoreCase("ID"))
+  }
+
+  /** One sentence's token rows → triple graph (the S2 core, shared with the
+    * XML-TSV and bracketing sources). */
+  private[conll] def buildSentence(
+      docId: String,
+      sent: Long,
+      rows: Seq[(Int, String, Array[String])],
+      comments: Seq[String],
+      meta: SchemaMeta,
+      linkPrev: Boolean
+  ): Sentence = {
+    val cs = meta.cs
+    val hasHead = meta.hasHead
+    val hasArgs = meta.hasArgs
+    val argBase = meta.argBase
+    val predCol = meta.predCol
+
+    val g = mutable.LinkedHashSet[Triple]()
+    val sentNode = s":s${sent}_0"
+    if (linkPrev)
+      g += Triple(s":s${sent - 1}_0", "nif:nextSentence", sentNode, oUri = true)
+    g += Triple(sentNode, "rdf:type", "nif:Sentence", oUri = true)
+
+    // SRL: the i-th ARGs column refers to the i-th predicate-marked row.
+    val predicates = mutable.ArrayBuffer[String]()
+    val argTriples = mutable.ArrayBuffer[(Int, String, String)]() // (predIdx, role, wordUri)
+    val argProps = mutable.LinkedHashSet[String]()
+
+    var prevUri: String = null
+    for ((_, idString, cells) <- rows) {
+      val uri = s":s${sent}_$idString"
+      if (prevUri != null)
+        g += Triple(prevUri, "nif:nextWord", uri, oUri = true)
+      prevUri = uri
+      g += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      var i = 0
+      while (i < cells.length) {
+        val v = cells(i).trim
+        if (!isEmptyCell(v)) {
+          if (i < cs.length && meta.isHead(i)) {
+            g += Triple(uri, meta.colPred(i), s":s${sent}_$v", oUri = true)
+          } else if (i < cs.length - 1 || (i == cs.length - 1 && !hasArgs)) {
+            if (i < cs.length)
+              g += Triple(uri, meta.colPred(i), escapeLit(v), oUri = false)
+          } else if (hasArgs) {
+            // i-th physical ARGs column (may overflow declared schema)
+            argTriples += ((i + 1 - cs.length, v, uri))
+            argProps += v
+          }
+          if (predCol >= 0 && i == predCol) predicates += uri
+        }
+        i += 1
+      }
+      if (!hasHead)
+        g += Triple(uri, "conll:HEAD", sentNode, oUri = true)
+    }
+    for ((pi, role, wordUri) <- argTriples; if pi >= 0 && pi < predicates.length)
+      g += Triple(predicates(pi), s"conll:$role", wordUri, oUri = true)
+    for (role <- argProps)
+      g += Triple(s"conll:$role", "rdfs:subPropertyOf", s"conll:$argBase", oUri = true)
+
+    if (comments.nonEmpty)
+      g += Triple(sentNode, "rdfs:comment", escapeLit(comments.mkString("\n")), oUri = false)
+
+    Sentence(docId, sent, comments, g.toSeq)
+  }
+
   def parseDoc(doc: InputDoc, cols: Seq[String]): Seq[Sentence] = {
     var columns: Vector[String] = cols.toVector
+    var meta = new SchemaMeta(columns)
     val sentences = mutable.ArrayBuffer[Sentence]()
 
     var sent = 1L
@@ -58,71 +161,10 @@ object SpanParser {
     var rows = mutable.ArrayBuffer[(Int, String, Array[String])]() // (tok, idString, cells)
     var comments = mutable.ArrayBuffer[String]()
 
-    def headCols(cs: Vector[String]): Seq[Int] =
-      cs.indices.filter(i => cs(i).toUpperCase.matches("^HEAD[0-9]*$"))
-
     def flush(): Unit = {
       if (rows.nonEmpty) {
-        val cs = columns
-        val hasHead = headCols(cs).nonEmpty
-        val hasArgs = cs.nonEmpty && cs.last.toLowerCase.matches(".*args$")
-        // predicate-marker column: ARGs label with the whole -ARGs suffix
-        // stripped (CoNLL2RDF.java:148); subPropertyOf target keeps -ARG,
-        // dropping only the trailing s (CoNLL2RDF.java:146)
-        val predColName = if (hasArgs) cs.last.replaceAll(ArgsSuffix, "") else ""
-        val argBase =
-          if (hasArgs) cs.last.replaceFirst("([\\-_]*[Aa][rR][gG])[sS]$", "$1") else ""
-        val predCol = if (hasArgs) cs.indexOf(predColName) else -1
-
-        val g = mutable.LinkedHashSet[Triple]()
-        val sentNode = s":s${sent}_0"
-        if (sent > 1L)
-          g += Triple(s":s${sent - 1}_0", "nif:nextSentence", sentNode, oUri = true)
-        g += Triple(sentNode, "rdf:type", "nif:Sentence", oUri = true)
-
-        // SRL: the i-th ARGs column refers to the i-th predicate-marked row.
-        val predicates = mutable.ArrayBuffer[String]()
-        val argTriples = mutable.ArrayBuffer[(Int, String, String)]() // (predIdx, role, wordUri)
-        val argProps = mutable.LinkedHashSet[String]()
-
-        var prevUri: String = null
-        for (((t, idString, cells), _) <- rows.zipWithIndex) {
-          val uri = s":s${sent}_$idString"
-          if (prevUri != null)
-            g += Triple(prevUri, "nif:nextWord", uri, oUri = true)
-          prevUri = uri
-          g += Triple(uri, "rdf:type", "nif:Word", oUri = true)
-          var i = 0
-          while (i < cells.length) {
-            val v = cells(i).trim
-            if (!isEmptyCell(v)) {
-              if (i < cs.length && cs(i).toUpperCase.matches("^HEAD[0-9]*$")) {
-                g += Triple(uri, s"conll:${cs(i)}", s":s${sent}_$v", oUri = true)
-              } else if (i < cs.length - 1 || (i == cs.length - 1 && !hasArgs)) {
-                if (i < cs.length)
-                  g += Triple(uri, s"conll:${cs(i)}", escapeLit(v), oUri = false)
-              } else if (hasArgs) {
-                // i-th physical ARGs column (may overflow declared schema)
-                argTriples += ((i + 1 - cs.length, v, uri))
-                argProps += v
-              }
-              if (predCol >= 0 && i == predCol) predicates += uri
-            }
-            i += 1
-          }
-          if (!hasHead)
-            g += Triple(uri, "conll:HEAD", sentNode, oUri = true)
-          val _ = t
-        }
-        for ((pi, role, wordUri) <- argTriples; if pi >= 0 && pi < predicates.length)
-          g += Triple(predicates(pi), s"conll:$role", wordUri, oUri = true)
-        for (role <- argProps)
-          g += Triple(s"conll:$role", "rdfs:subPropertyOf", s"conll:$argBase", oUri = true)
-
-        if (comments.nonEmpty)
-          g += Triple(sentNode, "rdfs:comment", escapeLit(comments.mkString("\n")), oUri = false)
-
-        sentences += Sentence(doc.doc_id, sent, comments.toSeq, g.toSeq)
+        sentences += buildSentence(doc.doc_id, sent, rows.toSeq, comments.toSeq, meta,
+          linkPrev = sent > 1L)
         sent += 1
         tok = 0
         rows = mutable.ArrayBuffer()
@@ -138,6 +180,7 @@ object SpanParser {
           val m = GlobalColumns.matcher(span.text.trim)
           if (m.matches()) {
             columns = m.group(1).trim.split("\\s+").toVector
+            meta = new SchemaMeta(columns)
           } else {
             comments += span.text.trim.replaceFirst("^#\\s?", "")
           }
@@ -147,22 +190,26 @@ object SpanParser {
           else if (OtherMarkup.matcher(stripped).matches()) () // skip other XML
           else () // markup with trailing text: out of scope for core TSV path
         case _ => // "token"
-          var line = SPMarkup.matcher(span.text).replaceAll("").trim
-          if (OtherMarkup.matcher(line).matches()) ()
+          // fast path: lines without '<' or '#' skip the regex machinery
+          val raw = span.text
+          var line =
+            if (raw.indexOf('<') >= 0) SPMarkup.matcher(raw).replaceAll("").trim
+            else raw.trim
+          if (raw.indexOf('<') >= 0 && OtherMarkup.matcher(line).matches()) ()
           else if (line.isEmpty) flush()
           else {
-            line = line.replaceFirst("#.*", "").trim
+            if (line.indexOf('#') >= 0) line = line.replaceFirst("#.*", "").trim
             if (line.nonEmpty) {
               tok += 1
               val cells = line.split("\t", -1)
-              val idCol = columns.indexWhere(_.equalsIgnoreCase("ID"))
+              val idCol = meta.idCol
               val idString =
                 if (idCol >= 0) {
                   if (idCol >= cells.length)
                     throw new ArrayIndexOutOfBoundsException(
                       "if defined as label, the ID column is obligatory")
                   val v = cells(idCol).trim
-                  if (!v.matches("-?[0-9]+"))
+                  if (!isInteger(v))
                     throw new NumberFormatException("the ID column must contain integers, only")
                   v
                 } else tok.toString

@@ -70,6 +70,32 @@ object KgQueries {
         Serializers.toSortedNTriples(t).toDF("line")
       },
       None
+    ),
+    Q(
+      // S7: XML-TSV source → powla tree triples + xAttributes2value
+      "kg_xmltsv_powla",
+      (s, dir) => {
+        import s.implicits._
+        val d = DocGen.xmlDocs(s, nDocsFor(dir) / 4)
+        val sents = d.flatMap(x => XmlTsvParser.parseDoc(x, Seq("WORD", "POS")))
+        Pipeline.triples(Pipeline.rewrite(sents,
+          Seq(TreesScripts.xAttributes2value -> 1))).toDF
+      },
+      None
+    ),
+    Q(
+      // S8 + trees: brackets source → powla trees → emptyNode2Word →
+      // tree2bracket roundtrip
+      "kg_brackets_roundtrip",
+      (s, dir) => {
+        import s.implicits._
+        val cols = Seq("WORD", "POS", "PARSE")
+        val d = DocGen.bracketDocs(s, nDocsFor(dir) / 4)
+        val sents = d.flatMap(x => BracketsParser.parseDoc(x, cols))
+        Pipeline.triples(Pipeline.rewrite(sents,
+          Seq(TreesScripts.tree2bracket -> 1))).toDF
+      },
+      None
     )
   )
 }
