@@ -1,0 +1,52 @@
+package graft.conll
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Bounded sentence-context windows (SURVEY §1.4, §2.3 U14): the
+  * reference's lookback/lookahead named graphs
+  * (CoNLLRDFUpdater.java:131-132,536-561,844-894) give each sentence's
+  * update scripts read access to the previous/next N sentences.
+  *
+  * Spark-native: a window over the sentence ordinal per document —
+  * `rowsBetween(-lookback, -1)` / `(1, lookahead)` with collect_list —
+  * ONE shuffle by (docId), no streaming state store. At 100 TB documents
+  * are the partition unit, so the shuffle is by the natural key and
+  * bounded by per-doc sentence counts.
+  */
+object ContextWindow {
+
+  final case class SentenceWithContext(
+      sentence: Sentence,
+      lookback: Seq[Sentence],
+      lookahead: Seq[Sentence])
+
+  def attach(
+      sents: Dataset[Sentence],
+      lookback: Int,
+      lookahead: Int
+  ): Dataset[SentenceWithContext] = {
+    import sents.sparkSession.implicits._
+    val w = Window.partitionBy($"docId").orderBy($"sent")
+    sents
+      .withColumn("lb", collect_list(struct($"docId", $"sent", $"comments", $"triples"))
+        .over(w.rowsBetween(-lookback.toLong, -1)))
+      .withColumn("la", collect_list(struct($"docId", $"sent", $"comments", $"triples"))
+        .over(w.rowsBetween(1, lookahead.toLong)))
+      .select(
+        struct($"docId", $"sent", $"comments", $"triples").as("sentence"),
+        $"lb".as("lookback"), $"la".as("lookahead"))
+      .as[SentenceWithContext]
+  }
+
+  /** Run a context-aware rewrite: the rule sees (sentence, lookback,
+    * lookahead) and returns the rewritten sentence. Narrow after the one
+    * context shuffle. */
+  def rewriteWithContext(
+      ctx: Dataset[SentenceWithContext]
+  )(rule: SentenceWithContext => Sentence): Dataset[Sentence] = {
+    import ctx.sparkSession.implicits._
+    ctx.map(rule)
+  }
+}

@@ -106,4 +106,26 @@ object Serializers {
     }
     renamed.select((Seq(col("doc_id"), col("sent"), col("tok")) ++ cols.map(col)): _*)
   }
+
+  /** K3: the analyze-ud evaluation SELECT
+    * (examples/sparql/analyze/eval-POSsynt.sparql) as a declarative
+    * DataFrame query: per word, its surface/UPOS/EDGE/match plus the
+    * sorted-distinct group_concat of the two POSsynt columns. */
+  def evalPossyntSelect(triples: DataFrame): DataFrame = {
+    def vals(pred: String, as: String): DataFrame =
+      triples.filter(col("pred") === pred)
+        .select(col("doc_id"), col("sent"), col("subj"), col("obj").as(as))
+    def concatVals(pred: String, as: String): DataFrame =
+      triples.filter(col("pred") === pred)
+        .groupBy(col("doc_id"), col("sent"), col("subj"))
+        .agg(array_join(array_sort(collect_set(col("obj"))), " ").as(as))
+    vals("conll:WORD", "word")
+      .join(vals("conll:UPOS", "upos"), Seq("doc_id", "sent", "subj"))
+      .join(vals("conll:EDGE", "udep"), Seq("doc_id", "sent", "subj"))
+      .join(vals("conll:POSsynt_match", "match"), Seq("doc_id", "sent", "subj"))
+      .join(concatVals("conll:POSsynt_UPOS", "POSsynt_UPOS"), Seq("doc_id", "sent", "subj"), "left_outer")
+      .join(concatVals("conll:POSsynt_UD", "POSsynt_UDEP"), Seq("doc_id", "sent", "subj"), "left_outer")
+      .select(col("doc_id"), col("sent"), col("subj"), col("word"), col("upos"),
+        col("udep"), col("POSsynt_UPOS"), col("POSsynt_UDEP"), col("match"))
+  }
 }

@@ -72,6 +72,34 @@ object KgQueries {
       None
     ),
     Q(
+      // K3: eval-POSsynt SELECT over the analyze cascade output
+      "kg_eval_possynt",
+      (s, dir) => {
+        val t = Pipeline.triples(
+          Pipeline.rewrite(Pipeline.parse(docs(s, dir), DocGen.columns),
+            Pipeline.analyzeCascade)).toDF
+        Serializers.evalPossyntSelect(t)
+      },
+      None
+    ),
+    Q(
+      // multimodal: media table → batched stub decode → typed metadata
+      "mm_media_meta",
+      (s, dir) =>
+        graft.functions.Multimodal.extractMeta(
+          graft.functions.Multimodal.mediaTable(docs(s, dir))).toDF,
+      None
+    ),
+    Q(
+      // multimodal: frame sampling + duplicate-frame buckets
+      "mm_frame_dups",
+      (s, dir) =>
+        graft.functions.Multimodal.dupFrames(
+          graft.functions.Multimodal.sampleFrames(
+            graft.functions.Multimodal.mediaTable(docs(s, dir)))),
+      None
+    ),
+    Q(
       // S7: XML-TSV source → powla tree triples + xAttributes2value
       "kg_xmltsv_powla",
       (s, dir) => {

@@ -1,0 +1,45 @@
+package graft.conll
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ContextEvalSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("context window attaches bounded lookback/lookahead per doc") {
+    import spark.implicits._
+    val docs = DocGen.docs(spark, 6)
+    val sents = Pipeline.parse(docs, DocGen.columns)
+    val ctx = ContextWindow.attach(sents, lookback = 2, lookahead = 1).collect()
+    for (c <- ctx) {
+      assert(c.lookback.size <= 2 && c.lookahead.size <= 1)
+      assert(c.lookback.forall(_.docId == c.sentence.docId))
+      assert(c.lookback.forall(_.sent < c.sentence.sent))
+      assert(c.lookahead.forall(_.sent == c.sentence.sent + 1))
+    }
+    // a sentence with predecessors actually gets them
+    val withLb = ctx.filter(_.sentence.sent >= 3)
+    assert(withLb.nonEmpty && withLb.forall(_.lookback.nonEmpty))
+  }
+
+  test("eval-POSsynt SELECT: one row per word, group_concat columns sorted") {
+    import spark.implicits._
+    val docs = DocGen.docs(spark, 8)
+    val t = Pipeline.triples(
+      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).toDF
+    val eval = Serializers.evalPossyntSelect(t).cache()
+    assert(eval.count() > 0)
+    // every row has word/upos/udep/match; match is "1" or "0"
+    assert(eval.filter($"word".isNull || $"upos".isNull || $"udep".isNull).count() == 0)
+    assert(eval.filter(!$"match".isin("1", "0")).count() == 0)
+    // ADP words ({RN,AN} from UPOS, AN from case edge) show sorted concat
+    val adp = eval.filter($"upos" === "ADP" && $"udep" === "case").limit(1).collect()
+    if (adp.nonEmpty) {
+      assert(adp.head.getAs[String]("POSsynt_UPOS") == "AN" ||
+        adp.head.getAs[String]("POSsynt_UPOS") == "AN RN")
+    }
+    eval.unpersist()
+  }
+}
