@@ -51,18 +51,6 @@ object SpanParser {
     case _ => false
   }
 
-  private def isInteger(v: String): Boolean = {
-    if (v.isEmpty) return false
-    var i = if (v.charAt(0) == '-') 1 else 0
-    if (i >= v.length) return false
-    while (i < v.length) {
-      val c = v.charAt(i)
-      if (c < '0' || c > '9') return false
-      i += 1
-    }
-    true
-  }
-
   /** Parse one document's span sequence into sentences.
     *
     * @param cols declared column labels (positional); overridden by a
@@ -203,15 +191,17 @@ object SpanParser {
               tok += 1
               val cells = line.split("\t", -1)
               val idCol = meta.idCol
+              // NOTE: the reference declares "ID must contain integers" but
+              // its check is dead code (the catch at CoNLL2RDF.java:116 can
+              // never fire — nothing parses the int); IDs pass through
+              // verbatim, e.g. CoNLL-U ranges "1-2" mint :s1_1-2. We match
+              // the actual behavior, only failing on a missing cell.
               val idString =
                 if (idCol >= 0) {
                   if (idCol >= cells.length)
                     throw new ArrayIndexOutOfBoundsException(
                       "if defined as label, the ID column is obligatory")
-                  val v = cells(idCol).trim
-                  if (!isInteger(v))
-                    throw new NumberFormatException("the ID column must contain integers, only")
-                  v
+                  cells(idCol).trim
                 } else tok.toString
               rows += ((tok, idString, cells))
             }

@@ -95,10 +95,11 @@ class SpanParserSpec extends AnyFunSuite {
     assert(sents.head.triples.exists(t => t.s == ":s1_10" && t.p == "conll:WORD"))
   }
 
-  test("non-integer ID fails fast (CoNLL2RDF.java:112-117)") {
-    assertThrows[NumberFormatException] {
-      SpanParser.parseDoc(doc(Seq("x1\tx\tNOUN\t0\troot", "")), cols)
-    }
+  test("non-integer ID passes through verbatim (reference's int check is dead code)") {
+    // CoNLL2RDF.java:112-117: the NumberFormatException catch can never
+    // fire; CoNLL-U range ids like "1-2" mint URIs verbatim.
+    val sents = SpanParser.parseDoc(doc(Seq("1-2\tx\tNOUN\t0\troot", "")), cols)
+    assert(sents.head.triples.exists(t => t.s == ":s1_1-2" && t.p == "conll:WORD"))
   }
 
   test("media spans are ignored by parsing") {
