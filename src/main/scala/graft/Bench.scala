@@ -38,15 +38,15 @@ object Bench {
     import spark.implicits._
     val docs = spark.read.parquet(path).as[graft.conll.InputDoc]
     val t0 = System.nanoTime()
-    val n = Pipeline.triples(
-      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).count()
+    val n = Pipeline.rewriteTriples(
+      Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade).count()
     ((System.nanoTime() - t0) / 1e9, n)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val nDocs = math.max(KgQueries.nDocsFor(sfDir) * 10, 50000L) // ≥50k docs for stable timing
+    val nDocs = math.max(KgQueries.nDocsFor(sfDir) * 20, 100000L) // ≥100k docs: short runs understate scaling (fixed overheads)
     val levelN = 2
     val level4N = 8
 

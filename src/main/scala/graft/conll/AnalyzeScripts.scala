@@ -28,14 +28,16 @@ object AnalyzeScripts {
     * statements guarded by NOT EXISTS on the accumulating POSsynt_UPOS
     * (order-dependent: a word classified once is never reclassified). */
   val uposToPossynt: Script = {
-    def classify(pat: String, exact: Boolean, values: Seq[String], guard: Boolean): Stage =
+    def classify(pat: String, exact: Boolean, values: Seq[String], guard: Boolean): Stage = {
+      val matches = if (exact) null else rex(pat)
       stage { (g, out) =>
         for ((w, upos, _) <- g.pairs(UPOS)
              if (!guard || !g.has(w, PS_UPOS)) &&
-               (if (exact) upos == pat else re(upos, pat));
+               (if (exact) upos == pat else matches(upos));
              v <- values)
           out.insLit(w, PS_UPOS, v)
       }
+    }
     Script("UPOS-to-POSsynt", Seq(
       classify("NOUN|PROPN|PRON", exact = false, Seq("N"), guard = false),
       classify("VERB|AUX", exact = false, Seq("V"), guard = true),
@@ -53,27 +55,31 @@ object AnalyzeScripts {
     * statement appears twice in the source (= 2 hops per script run). */
   val edgeToPossynt: Script = {
     // common INSERT shape: word gets wv (if set), every HEAD gets hv (if set)
-    def edgeRule(pat: String, wv: Option[String], hv: Option[String]): Stage =
+    def edgeRule(pat: String, wv: Option[String], hv: Option[String]): Stage = {
+      val matches = rex(pat)
       stage { (g, out) =>
-        for ((w, edge, _) <- g.pairs(EDGE) if re(edge, pat);
+        for ((w, edge, _) <- g.pairs(EDGE) if matches(edge);
              h <- g.objects(w, HEAD)) {
           wv.foreach(v => out.insLit(w, PS_UD, v))
           hv.foreach(v => out.insLit(h, PS_UD, v))
         }
       }
+    }
+    val negRe = rex("^(neg)")
     val negAv: Stage = stage { (g, out) =>
-      for ((w, edge, _) <- g.pairs(EDGE) if re(edge, "^(neg)");
+      for ((w, edge, _) <- g.pairs(EDGE) if negRe(edge);
            h <- g.objects(w, HEAD)
            if !g.has(w, PS_UD) && g.has(h, PS_UD) && !g.has(h, PS_UD, "N"))
         out.insLit(w, PS_UD, "AV")
     }
     val negAn: Stage = stage { (g, out) =>
-      for ((w, edge, _) <- g.pairs(EDGE) if re(edge, "^(neg)");
+      for ((w, edge, _) <- g.pairs(EDGE) if negRe(edge);
            h <- g.objects(w, HEAD) if g.has(h, PS_UD, "N"))
         out.insLit(w, PS_UD, "AN")
     }
+    val propRe = rex("^(conj|parataxis|flat|compound|fixed|mwe|list)")
     val propagate: Stage = stage { (g, out) =>
-      for ((w, edge, _) <- g.pairs(EDGE) if re(edge, "^(conj|parataxis|flat|compound|fixed|mwe|list)");
+      for ((w, edge, _) <- g.pairs(EDGE) if propRe(edge);
            h <- g.objects(w, HEAD)) {
         if (!g.has(h, PS_UD))
           for (p <- g.objects(w, PS_UD)) { out.insLit(w, PS_UD, p); out.insLit(h, PS_UD, p) }
@@ -81,9 +87,10 @@ object AnalyzeScripts {
           for (p <- g.objects(h, PS_UD)) { out.insLit(w, PS_UD, p); out.insLit(h, PS_UD, p) }
       }
     }
+    val rootRe = rex("^(root)")
     val root: Stage = stage { (g, out) =>
       for ((w, edge, _) <- g.pairs(EDGE)
-           if g.objects(w, HEAD).nonEmpty && !g.has(w, PS_UD) && re(edge, "^(root)"))
+           if g.objects(w, HEAD).nonEmpty && !g.has(w, PS_UD) && rootRe(edge))
         out.insLit(w, PS_UD, "V")
     }
     Script("EDGE-to-POSsynt", Seq(

@@ -29,6 +29,21 @@ object LinkScripts {
       }
     ))
 
+  /** Full link/link-penn-POS.sparql: all 5 oliasys tag-matching modes
+    * (exact/containing/regex/starting/ending), relation replication with
+    * heuristic-disambiguated closure typing, and annotation-class supers —
+    * driver-precompiled to Ontology.PennLink entries. */
+  def linkPennPosFull(links: Seq[Ontology.PennLink]): Script =
+    Script("link-penn-POS", Seq(
+      stage { (g, out) =>
+        for ((w, pos, _) <- g.pairs(conll("POS")); link <- links if link.matches(pos)) {
+          for ((p, o, isUri) <- link.wordInserts)
+            if (isUri) out.insUri(w, p, o) else out.insLit(w, p, o)
+          out.ins ++= link.standalone
+        }
+      }
+    ))
+
   /** link/infer-olia-concepts.sparql — close types over
     * (subClassOf|equivalentClass)+ within the reference namespace. */
   def inferOliaConcepts(supers: Map[String, Seq[String]]): Script =
@@ -53,6 +68,9 @@ object LinkScripts {
       }
     ))
 
+  /** "olia-flavored but not the reference model": penn/ud annotation
+    * models AND oliasys (all under http://purl.org/olia/ except olia.owl —
+    * remove-annotation-model.sparql:3-8). */
   def defaultAnnotationNs(uri: String): Boolean =
-    uri.startsWith("ud:") || uri.startsWith("penn:")
+    uri.startsWith("ud:") || uri.startsWith("penn:") || uri.startsWith("oliasys:")
 }

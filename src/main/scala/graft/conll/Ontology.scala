@@ -98,44 +98,65 @@ object Ontology {
     */
   val GRAPH_UD = "graph:ud-pos-all"
   val GRAPH_PENN = "graph:penn"
+  val GRAPH_OLIA = "graph:olia"
+
+  // the 5 oliasys tag-matching modes (link-penn-POS.sparql:27-31)
+  val HAS_TAG_CONTAINING = "oliasys:hasTagContaining"
+  val HAS_TAG_MATCHING = "oliasys:hasTagMatching"
+  val HAS_TAG_STARTING = "oliasys:hasTagStartingWith"
+  val HAS_TAG_ENDING = "oliasys:hasTagEndingWith"
 
   val miniOlia: Seq[OntTriple] = {
+    // penn graph (annotation model + linking model in ONE graph, like the
+    // reference loading penn.owl + penn-link.rdf into one named graph):
+    // tag INSTANCES carry hasTag*, are typed by annotation-model classes,
+    // which link ONE subclass step into the reference model; the
+    // olia-internal hierarchy lives in GRAPH_OLIA (olia.owl) and is only
+    // reachable via infer-olia-concepts — reproducing the layering of
+    // examples/parse-ud.sh:36-45.
     def g(s: String, p: String, o: String) = OntTriple(GRAPH_PENN, s, p, o)
+    def inst(tag: String, cls: String, olia: String) = Seq(
+      g(s"penn:i$tag", HAS_TAG, tag),
+      g(s"penn:i$tag", TYPE, s"penn:$cls"),
+      g(s"penn:$cls", SUBCLASS, s"olia:$olia"))
     val penn = Seq(
-      // tag classes (annotation model) linked to reference classes
-      g("penn:NN", HAS_TAG, "NN"), g("penn:NN", SUBCLASS, "olia:CommonNoun"),
-      g("penn:NNS", HAS_TAG, "NNS"), g("penn:NNS", SUBCLASS, "olia:CommonNoun"),
-      g("penn:NNP", HAS_TAG, "NNP"), g("penn:NNP", SUBCLASS, "olia:ProperNoun"),
-      g("penn:PRP", HAS_TAG, "PRP"), g("penn:PRP", SUBCLASS, "olia:PersonalPronoun"),
-      g("penn:VBZ", HAS_TAG, "VBZ"), g("penn:VBZ", SUBCLASS, "olia:FiniteVerb"),
-      g("penn:VBD", HAS_TAG, "VBD"), g("penn:VBD", SUBCLASS, "olia:FiniteVerb"),
-      g("penn:VBP", HAS_TAG, "VBP"), g("penn:VBP", SUBCLASS, "olia:FiniteVerb"),
-      g("penn:VB", HAS_TAG, "VB"), g("penn:VB", SUBCLASS, "olia:Verb"),
-      g("penn:VBN", HAS_TAG, "VBN"), g("penn:VBN", SUBCLASS, "olia:Participle"),
-      g("penn:VBG", HAS_TAG, "VBG"), g("penn:VBG", SUBCLASS, "olia:Gerund"),
-      g("penn:JJ", HAS_TAG, "JJ"), g("penn:JJ", SUBCLASS, "olia:Adjective"),
-      g("penn:RB", HAS_TAG, "RB"), g("penn:RB", SUBCLASS, "olia:Adverb"),
-      g("penn:DT", HAS_TAG, "DT"), g("penn:DT", SUBCLASS, "olia:Determiner"),
-      g("penn:CD", HAS_TAG, "CD"), g("penn:CD", SUBCLASS, "olia:CardinalNumber"),
-      g("penn:IN", HAS_TAG, "IN"), g("penn:IN", SUBCLASS, "olia:Preposition"),
-      g("penn:HYPH", HAS_TAG, "HYPH"), g("penn:HYPH", SUBCLASS, "olia:Punctuation"),
-      g("penn:TO", HAS_TAG, "TO"), g("penn:TO", SUBCLASS, "olia:InfinitiveParticle"),
-      // reference-model hierarchy (≥3 levels)
-      g("olia:CommonNoun", SUBCLASS, "olia:Noun"),
-      g("olia:ProperNoun", SUBCLASS, "olia:Noun"),
-      g("olia:Noun", SUBCLASS, "olia:Nominal"),
-      g("olia:PersonalPronoun", SUBCLASS, "olia:Pronoun"),
-      g("olia:Pronoun", SUBCLASS, "olia:Nominal"),
-      g("olia:FiniteVerb", SUBCLASS, "olia:Verb"),
-      g("olia:Participle", SUBCLASS, "olia:NonFiniteVerb"),
-      g("olia:Gerund", SUBCLASS, "olia:NonFiniteVerb"),
-      g("olia:NonFiniteVerb", SUBCLASS, "olia:Verb"),
-      g("olia:Verb", SUBCLASS, "olia:MorphosyntacticCategory"),
-      g("olia:Adjective", EQUIV, "olia:AdjectivalHead"),
+      inst("NN", "CommonNoun", "CommonNoun"), inst("NNS", "CommonNoun", "CommonNoun"),
+      inst("NNP", "ProperNoun", "ProperNoun"), inst("PRP", "PersonalPronoun", "PersonalPronoun"),
+      inst("VBZ", "FiniteVerb", "FiniteVerb"), inst("VBD", "FiniteVerb", "FiniteVerb"),
+      inst("VBP", "FiniteVerb", "FiniteVerb"), inst("VB", "BaseVerb", "Verb"),
+      inst("VBN", "Participle", "Participle"), inst("VBG", "Gerund", "Gerund"),
+      inst("JJ", "Adjective", "Adjective"), inst("RB", "Adverb", "Adverb"),
+      inst("DT", "Determiner", "Determiner"), inst("CD", "CardinalNumber", "CardinalNumber"),
+      inst("IN", "Preposition", "Preposition"), inst("HYPH", "Hyphen", "Punctuation"),
+      inst("TO", "To", "InfinitiveParticle")
+    ).flatten ++ Seq(
+      // fuzzy matching modes: any VB* tag is at least a Verb; tags
+      // containing "J" are adjectival — exercises modes 2 and 4
+      g("penn:iVBany", HAS_TAG_STARTING, "VB"),
+      g("penn:iVBany", TYPE, "penn:AnyVerb"),
+      g("penn:AnyVerb", SUBCLASS, "olia:Verb"),
+      g("penn:iJany", HAS_TAG_CONTAINING, "J"),
+      g("penn:iJany", TYPE, "penn:AnyAdjectival"),
+      g("penn:AnyAdjectival", SUBCLASS, "olia:AdjectivalHead")
+    )
+    // reference model graph (olia.owl): internal hierarchy (≥3 levels)
+    def o(s: String, p: String, obj: String) = OntTriple(GRAPH_OLIA, s, p, obj)
+    val olia = Seq(
+      o("olia:CommonNoun", SUBCLASS, "olia:Noun"),
+      o("olia:ProperNoun", SUBCLASS, "olia:Noun"),
+      o("olia:Noun", SUBCLASS, "olia:Nominal"),
+      o("olia:PersonalPronoun", SUBCLASS, "olia:Pronoun"),
+      o("olia:Pronoun", SUBCLASS, "olia:Nominal"),
+      o("olia:FiniteVerb", SUBCLASS, "olia:Verb"),
+      o("olia:Participle", SUBCLASS, "olia:NonFiniteVerb"),
+      o("olia:Gerund", SUBCLASS, "olia:NonFiniteVerb"),
+      o("olia:NonFiniteVerb", SUBCLASS, "olia:Verb"),
+      o("olia:Verb", SUBCLASS, "olia:MorphosyntacticCategory"),
+      o("olia:Adjective", EQUIV, "olia:AdjectivalHead"),
       // one union list: olia:Modifier = unionOf(Adjective, Adverb)
-      g("olia:Modifier", UNION, "_:l1"),
-      g("_:l1", FIRST, "olia:Adjective"), g("_:l1", REST, "_:l2"),
-      g("_:l2", FIRST, "olia:Adverb"), g("_:l2", REST, "rdf:nil")
+      o("olia:Modifier", UNION, "_:l1"),
+      o("_:l1", FIRST, "olia:Adjective"), o("_:l1", REST, "_:l2"),
+      o("_:l2", FIRST, "olia:Adverb"), o("_:l2", REST, "rdf:nil")
     )
     // UD graph: UPOS tag classes (same shapes, graph-scoped)
     def u(s: String, p: String, o: String) = OntTriple(GRAPH_UD, s, p, o)
@@ -155,8 +176,101 @@ object Ontology {
       u("olia:SubordinatingConjunction", SUBCLASS, "olia:Conjunction"),
       u("olia:CoordinatingConjunction", SUBCLASS, "olia:Conjunction")
     )
-    penn ++ ud
+    penn ++ olia ++ ud
   }
 
   def keepOlia(uri: String): Boolean = uri.startsWith("olia:")
+
+  /** "OLiA namespace" in the reference's sense: contains
+    * 'http://purl.org/olia/' — which covers the reference model, the
+    * annotation models AND oliasys (link-penn-POS.sparql:36,42,51). */
+  def anyOliaNs(uri: String): Boolean =
+    uri.startsWith("olia:") || uri.startsWith("penn:") ||
+      uri.startsWith("ud:") || uri.startsWith("oliasys:")
+
+  // ---- link-penn-POS support (5 matching modes + heuristic closure) ----
+
+  /** One matched tag node's precomputed inserts. */
+  final case class PennLink(
+      mode: String,           // exact | containing | matching | starting | ending
+      arg: String,            // tag literal / substring / regex
+      wordInserts: Seq[(String, String, Boolean)], // (pred, obj, objIsUri) on the word
+      standalone: Seq[Triple] // e.g. (?o a ?c) typings of ontology nodes
+  ) {
+    @transient private lazy val pattern: java.util.regex.Pattern = mode match {
+      case "matching" => java.util.regex.Pattern.compile(arg)
+      case "starting" => java.util.regex.Pattern.compile(arg + ".*")
+      case "ending" => java.util.regex.Pattern.compile(".*" + arg)
+      case _ => null
+    }
+    def matches(pos: String): Boolean = mode match {
+      case "exact" => pos == arg
+      case "containing" => pos.contains(arg)
+      case _ => pattern.matcher(pos).find()
+    }
+  }
+
+  /** Heuristic-disambiguation closure used by link-penn-POS:
+    * `(owl:equivalentClass|rdfs:subClassOf|((owl:unionOf|owl:intersectionOf)/rdf:first))*`
+    * — note `rdf:first` WITHOUT `rdf:rest*`: only the first disjunct of a
+    * union is followed (link-penn-POS.sparql:38-40 "heuristic
+    * disambiguation: return first candidate in a disjunction"). */
+  def heuristicClosure(triples: Seq[OntTriple], graph: String, start: String): Seq[String] = {
+    val inG = triples.filter(_.graph == graph)
+    def succ(n: String): Seq[String] = {
+      val direct = inG.collect {
+        case t if t.s == n && (t.p == EQUIV || t.p == SUBCLASS) => t.o
+      }
+      val viaList = inG.collect {
+        case t if t.s == n && (t.p == UNION || t.p == INTERSECTION) => t.o
+      }.flatMap(l => inG.collect { case t if t.s == l && t.p == FIRST => t.o })
+      direct ++ viaList
+    }
+    val seen = mutable.LinkedHashSet(start)
+    val queue = mutable.Queue(start)
+    while (queue.nonEmpty) {
+      val x = queue.dequeue()
+      for (y <- succ(x); if seen.add(y)) queue += y
+    }
+    seen.toSeq
+  }
+
+  /** Compile the penn graph into runtime matchers with precomputed insert
+    * sets — the whole-graph work happens ONCE on the driver and ships as
+    * a broadcast-sized list (link-penn-POS.sparql semantics). */
+  def pennLinks(triples: Seq[OntTriple], graph: String): Seq[PennLink] = {
+    val inG = triples.filter(_.graph == graph)
+    val modes = Map(
+      HAS_TAG -> "exact", HAS_TAG_CONTAINING -> "containing",
+      HAS_TAG_MATCHING -> "matching", HAS_TAG_STARTING -> "starting",
+      HAS_TAG_ENDING -> "ending")
+    for (t <- inG; mode <- modes.get(t.p).toSeq) yield {
+      val x = t.s
+      val wordIns = mutable.LinkedHashSet[(String, String, Boolean)]()
+      val standalone = mutable.LinkedHashSet[Triple]()
+      // UNION branch 1: ?x ?rel ?o with olia-flavored rel
+      for (rt <- inG if rt.s == x && anyOliaNs(rt.p)) {
+        val isUri = rt.o.contains(":") && !rt.o.startsWith("_:")
+        wordIns += ((rt.p, rt.o, isUri))
+        if (isUri) {
+          // OPTIONAL closure of o: a/(equiv|sub|union/first)* filtered olia-ns
+          val cs = inG.collect { case tt if tt.s == rt.o && tt.p == TYPE => tt.o }
+            .flatMap(ty => heuristicClosure(triples, graph, ty))
+            .filter(anyOliaNs).distinct
+          for (c <- cs) {
+            standalone += Triple(rt.o, TYPE, c, oUri = true)
+            wordIns += ((rt.p, c, true))
+          }
+        }
+        // OPTIONAL ?rel subPropertyOf* ?oliaRel within olia.owl: our mini
+        // model declares no subproperty axioms → no extra rels
+      }
+      // UNION branch 2: ?x a/(...)* ?super
+      val supers = inG.collect { case tt if tt.s == x && tt.p == TYPE => tt.o }
+        .flatMap(ty => heuristicClosure(triples, graph, ty))
+        .filter(anyOliaNs).distinct
+      for (s <- supers) wordIns += ((TYPE, s, true))
+      PennLink(mode, t.o, wordIns.toSeq, standalone.toSeq)
+    }
+  }
 }

