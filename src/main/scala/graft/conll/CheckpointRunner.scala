@@ -33,7 +33,8 @@ object CheckpointRunner {
       cols: Seq[String],
       scripts: Seq[(Script, Int)],
       outDir: String,
-      nBuckets: Int = 8
+      nBuckets: Int = 8,
+      metrics: Option[Pipeline.Metrics] = None
   ): DataFrame = {
     import spark.implicits._
     val manifestDir = Paths.get(outDir, "_manifest")
@@ -45,7 +46,7 @@ object CheckpointRunner {
     for (b <- 0 until nBuckets if !isDone(b)) {
       val t0 = System.nanoTime()
       val subset = docs.filter(pmod(xxhash64($"doc_id"), lit(nBuckets)) === b)
-      val out = Pipeline.triples(Pipeline.rewrite(Pipeline.parse(subset, cols), scripts))
+      val out = Pipeline.rewriteTriples(Pipeline.parse(subset, cols), scripts, metrics)
       out.write.mode("overwrite").parquet(s"$outDir/bucket=$b")
       val written = spark.read.parquet(s"$outDir/bucket=$b")
       val stats = written.agg(
