@@ -61,21 +61,25 @@ object Bench {
       s.stop()
     }
 
-    def measure(threads: Int): (Double, Long) = {
+    def measureOnce(threads: Int): (Double, Long) = {
       val s = session(threads)
       s.sparkContext.setLogLevel("WARN")
-      kgRun(s, docsPath) // warmup (JIT + codegen)
-      val runs = (1 to 2).map(_ => kgRun(s, docsPath))
+      val r = kgRun(s, docsPath)
       s.stop()
-      (runs.map(_._1).min, runs.head._2)
+      r
     }
 
     // warm the JVM at full width first so JIT state is identical for both
     val warm = session(32); warm.sparkContext.setLogLevel("WARN")
-    kgRun(warm, docsPath); warm.stop()
+    kgRun(warm, docsPath); kgRun(warm, docsPath); warm.stop()
 
-    val (tN, triples) = measure(levelN)
-    val (t4N, _) = measure(level4N)
+    // this host has noisy-neighbor CPU steal (minutes of cumulative steal
+    // in /proc/stat): interleave the two levels over 3 rounds and take the
+    // per-level minimum, so a slow period can't bias one level only
+    val rounds = (1 to 3).map(_ => (measureOnce(levelN), measureOnce(level4N)))
+    val tN = rounds.map(_._1._1).min
+    val t4N = rounds.map(_._2._1).min
+    val triples = rounds.head._1._2
     val efficiency = (tN / t4N) / 4.0
 
     val spark = session(cpus.toInt)
