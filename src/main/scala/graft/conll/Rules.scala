@@ -46,7 +46,43 @@ object Rules {
       }
       it
     }
+
+    /** K4 debug mode: run to fixpoint, dumping the sorted triple lines
+      * after every statement that CHANGED the graph — one dump per
+      * (iteration, statement), the reference's -triplesout gating
+      * (CoNLLRDFUpdater.produceNTRIPLES + change checks,
+      * CoNLLRDFUpdater.java:336-366,453-477). */
+    def runTraced(g: SentGraph, maxIter: Int = 1): Seq[StepDump] = {
+      val cap = math.min(math.max(maxIter, 1), MAXITERATE)
+      val dumps = scala.collection.mutable.ArrayBuffer[StepDump]()
+      var it = 0
+      var changed = true
+      while (changed && it < cap) {
+        val v0 = g.version
+        for ((st, idx) <- stages.zipWithIndex) {
+          val vs = g.version
+          val (dels, ins) = st(g)
+          dels.foreach(g.remove)
+          ins.foreach(g.add)
+          if (g.version != vs)
+            dumps += StepDump(name, it + 1, idx + 1, sortedLines(g))
+        }
+        it += 1
+        changed = g.version != v0
+      }
+      dumps.toSeq
+    }
+
+    private def sortedLines(g: SentGraph): Seq[String] =
+      g.all.map { t =>
+        val o = if (t.oUri) t.o else "\"" + t.o + "\""
+        s"${t.s} ${t.p} $o ."
+      }.sorted
   }
+
+  /** One -triplesout style dump: sorted triple lines after a changed
+    * statement. */
+  final case class StepDump(script: String, iteration: Int, statement: Int, lines: Seq[String])
 
   private val patterns = TrieMap.empty[String, Pattern]
 

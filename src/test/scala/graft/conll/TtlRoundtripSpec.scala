@@ -1,0 +1,73 @@
+package graft.conll
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S3 conformance reader + K4 traced execution. */
+class TtlRoundtripSpec extends AnyFunSuite {
+
+  private val cols = Seq("ID", "WORD", "UPOS", "HEAD", "EDGE")
+
+  private def sentence(rows: Seq[String]): Sentence = {
+    val spans = (rows :+ "").zipWithIndex.map { case (r, i) =>
+      Span(if (r.isEmpty) "sentence_break" else "token", r, "", i)
+    }
+    SpanParser.parseDoc(InputDoc("d", spans), cols).head
+  }
+
+  test("K1 TTL → TtlParser roundtrip is the identity on the triple set") {
+    val s = sentence(Seq(
+      "1\tthe\tDET\t2\tdet",
+      "2\tfox \"quoted\" & co\tNOUN\t0\troot"
+    ))
+    val ttl = Serializers.toCanonicalTtl(s, cols)
+    val parsed = TtlParser.parseChunk(ttl)
+    assert(parsed.toSet == s.triples.toSet,
+      s"missing=${s.triples.toSet diff parsed.toSet} extra=${parsed.toSet diff s.triples.toSet}")
+  }
+
+  test("TtlParser handles comma object lists and the 'a' keyword") {
+    val t = TtlParser.parseChunk(
+      """:s1_1 a nif:Word; conll:IGNORE "2" , "DT" , "the"; conll:HEAD :s1_3 .""")
+    assert(t.toSet == Set(
+      Triple(":s1_1", "rdf:type", "nif:Word", true),
+      Triple(":s1_1", "conll:IGNORE", "2", false),
+      Triple(":s1_1", "conll:IGNORE", "DT", false),
+      Triple(":s1_1", "conll:IGNORE", "the", false),
+      Triple(":s1_1", "conll:HEAD", ":s1_3", true)))
+  }
+
+  test("parseDocument chunks at blank lines, skips @prefix and comments") {
+    val doc =
+      """@prefix conll: <http://ufal.mff.cuni.cz/conll2009-st/task-description.html#> .
+        |# comment
+        |:s1_0 a nif:Sentence .
+        |
+        |:s2_0 a nif:Sentence .""".stripMargin
+    val chunks = TtlParser.parseDocument(doc)
+    assert(chunks.length == 2)
+    assert(chunks(0) == Seq(Triple(":s1_0", "rdf:type", "nif:Sentence", true)))
+  }
+
+  test("runTraced dumps one sorted snapshot per changed statement (K4 gating)") {
+    val g = SentGraph(sentence(Seq(
+      "1\tthe\tDET\t2\tdet",
+      "2\tfox\tNOUN\t0\troot")))
+    val dumps = AnalyzeScripts.uposToPossynt.runTraced(g, maxIter = 5)
+    // statements 1 (N for fox) and 3 (AN for the) change the graph; the
+    // guarded re-run in iteration 2 changes nothing → exactly 2 dumps
+    assert(dumps.map(d => (d.iteration, d.statement)) == Seq((1, 1), (1, 3)))
+    // each dump is sorted and the last reflects the final state
+    assert(dumps.forall(d => d.lines == d.lines.sorted))
+    val finalLines = g.all.map { t =>
+      val o = if (t.oUri) t.o else "\"" + t.o + "\""
+      s"${t.s} ${t.p} $o ."
+    }.sorted
+    assert(dumps.last.lines == finalLines)
+    // traced and untraced execution converge to the same graph
+    val g2 = SentGraph(sentence(Seq(
+      "1\tthe\tDET\t2\tdet",
+      "2\tfox\tNOUN\t0\troot")))
+    AnalyzeScripts.uposToPossynt.run(g2, 5)
+    assert(g.all.toSet == g2.all.toSet)
+  }
+}
