@@ -81,6 +81,22 @@ object Serializers {
     lines.sortBy(lexiconumericKey).mkString("\n")
   }
 
+  /** The @prefix header block, written once per output document
+    * (Format2RDF.writePrefixes, Format2RDF.java:135-146; prefix
+    * deduplication across chunks = U17, CoNLLRDFUpdater.java:624-629). */
+  def prefixBlock(base: String): String =
+    (Seq(s"@prefix : <$base> .") ++
+      prefixes.toSeq.filterNot(_._1 == "rdf:type").sortBy(_._1)
+        .map { case (p, full) => s"@prefix ${p.stripSuffix(":")}: <$full> ." })
+      .mkString("\n")
+
+  /** K1 document writer: one prefix block, then one canonical TTL block
+    * per sentence separated by blank lines — the reference's serialized
+    * stream shape (prefixes emitted once, sentences chunked). */
+  def toCanonicalTtlDocument(sentences: Seq[Sentence], cols: Seq[String], base: String): String =
+    (prefixBlock(base) +: sentences.sortBy(_.sent).map(s => toCanonicalTtl(s, cols)))
+      .mkString("\n\n") + "\n"
+
   /** K2: CoNLL TSV reconstruction as a DataFrame with one column per
     * declared label plus (doc_id, sent, tok). Single shuffle:
     * groupBy(doc,sent,subj) + pivot on predicate. */

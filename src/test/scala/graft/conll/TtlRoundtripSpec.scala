@@ -48,6 +48,43 @@ class TtlRoundtripSpec extends AnyFunSuite {
     assert(chunks(0) == Seq(Triple(":s1_0", "rdf:type", "nif:Sentence", true)))
   }
 
+  test("K1 document writer: one prefix block, chunked sentences, full roundtrip") {
+    val spans = Seq(
+      "1\ta\tDET\t2\tdet", "2\tb\tNOUN\t0\troot", "",
+      "1\tc\tVERB\t0\troot", ""
+    ).zipWithIndex.map { case (r, i) =>
+      Span(if (r.isEmpty) "sentence_break" else "token", r, "", i)
+    }
+    val sents = SpanParser.parseDoc(InputDoc("d", spans), cols)
+    val doc = Serializers.toCanonicalTtlDocument(sents, cols, "urn:graft:d#")
+    assert(doc.linesIterator.count(_.startsWith("@prefix")) == prefixCount)
+    val chunks = TtlParser.parseDocument(doc)
+    assert(chunks.length == 2)
+    assert(chunks.flatten.toSet == sents.flatMap(_.triples).toSet)
+  }
+
+  private val prefixCount = Serializers.prefixes.size // incl. base, excl. rdf:type alias
+
+  test("segment splitter collapses blank runs into #newsegment (S10)") {
+    val d = InputDoc("d", Seq(
+      Span("token", "1\tx\tNOUN\t0\troot", "", 0),
+      Span("sentence_break", "", "", 1),
+      Span("sentence_break", "", "", 2),
+      Span("sentence_break", "", "", 3),
+      Span("token", "1\ty\tNOUN\t0\troot", "", 4)
+    ))
+    val out = SegmentSplitter.insertNewSegmentComments(d)
+    val kinds = out.spans.map(s => (s.kind, s.text))
+    assert(kinds == Seq(
+      ("token", "1\tx\tNOUN\t0\troot"),
+      ("sentence_break", ""),
+      ("comment", "#newsegment"),
+      ("token", "1\ty\tNOUN\t0\troot")))
+    // downstream: the comment lands on the following sentence
+    val sents = SpanParser.parseDoc(out, cols)
+    assert(sents(1).triples.exists(t => t.p == "rdfs:comment" && t.o == "newsegment"))
+  }
+
   test("runTraced dumps one sorted snapshot per changed statement (K4 gating)") {
     val g = SentGraph(sentence(Seq(
       "1\tthe\tDET\t2\tdet",
