@@ -95,6 +95,29 @@ class TreeSourcesSpec extends AnyFunSuite {
     assert(!g.all.exists(t => t.p.startsWith("powla:") || t.p.startsWith("tmp:")))
   }
 
+  test("the reference's bundled SketchEngine.sample parses (S7 on real data)") {
+    val lines = scala.io.Source.fromFile("/root/reference/data/SketchEngine.sample")
+      .getLines().toVector
+    val d = InputDoc("ske", lines.zipWithIndex.map { case (l, i) =>
+      Span(if (l.trim.matches("^<[^>]*>\\s*$")) "markup" else "token", l, "", i)
+    })
+    val sents = XmlTsvParser.parseDoc(d, Seq("WORD", "POS"))
+    // <head> and <p> are breaking elements → 2 sentences in the sample
+    assert(sents.length == 2)
+    val s1 = sents(0).triples.toSet
+    // :x1 = <doc id="G10" n="32">, :x2 = <head type="min">
+    assert(s1.contains(Triple(":x1", "x:id", "G10", false)))
+    assert(s1.contains(Triple(":x2", "x:type", "min", false)))
+    assert(s1.contains(Triple(":s1_1", "conll:WORD", "FEDERAL", false)))
+    assert(s1.contains(Triple(":s1_1", "conll:POS", "JJ", false)))
+    assert(s1.contains(Triple(":s1_1", "powla:hasParent", ":x2", true)))
+    // <g/> between CONSTITUTION and ',' is a self-closing sibling node
+    assert(s1.exists(t => t.p == "rdf:value" && t.o == "g"))
+    val s2 = sents(1).triples.toSet
+    assert(s2.contains(Triple(":s2_2", "conll:WORD", "we", false)))
+    assert(s2.contains(Triple(":x4", "x:n", "1", false))) // <p n="1"> is :x4
+  }
+
   test("xAttributes2value folds attributes into rdf:value") {
     val g = SentGraph.empty
     g.add(Triple(":x1", "rdf:type", "powla:Node", true))
