@@ -85,6 +85,59 @@ class TreeSourcesSpec extends AnyFunSuite {
     assert(t.contains(Triple(":bPARSE_4", "rdf:type", "conll:PARSE", true)))
   }
 
+  test("the reference's bundled bracketing.sample.conll parses (S8 on real data)") {
+    val lines = scala.io.Source.fromFile("/root/reference/data/bracketing.sample.conll")
+      .getLines().toVector
+    val d = InputDoc("ptb", lines.zipWithIndex.map { case (l, i) =>
+      val kind =
+        if (l.trim.isEmpty) "sentence_break"
+        else if (l.trim.startsWith("#")) "comment"
+        else "token"
+      Span(kind, l, "", i)
+    })
+    val cols = Seq("WORD", "POS", "PARSE_ON", "POS", "PARSE_PTB") // tree2bracket.sparql:8
+    val rows = lines.filter(l => l.trim.nonEmpty && !l.trim.startsWith("#"))
+      .map(_.split("\t", -1))
+    assert(BracketsParser.detectBracketColumns(rows, 5).toSeq ==
+      Seq(false, false, true, false, true))
+    val sents = BracketsParser.parseDoc(d, cols)
+    assert(sents.length == 2) // the sample repeats the sentence twice
+    val t = sents.head.triples
+    val onValues = t.collect {
+      case Triple(s, "rdf:value", v, false) if s.startsWith(":bPARSE_ON") => v
+    }.toSet
+    assert(Set("S", "NP-SBJ", "VP", "PP-TMP", "NP", "SBAR-NOM", "WHNP-2").subsetOf(onValues))
+    // Nicaraguan sits under NP-SBJ in the ON tree and NML in the PTB tree
+    val parents = t.collect { case Triple(":s1_1", "powla:hasParent", p, true) => p }
+    def valueOf(node: String) = t.collectFirst {
+      case Triple(`node`, "rdf:value", v, false) => v }
+    assert(parents.flatMap(valueOf).toSet == Set("NP-SBJ", "NML"))
+    // bracket cells removed from CoNLL columns; words/POS retained
+    assert(!t.exists(tr => tr.p == "conll:PARSE_ON" || tr.p == "conll:PARSE_PTB"))
+    assert(t.contains(Triple(":s1_1", "conll:WORD", "Nicaraguan", false)))
+    // traces like "*-1" stay ordinary WORD tokens (not bracket cells)
+    assert(t.contains(Triple(":s1_17", "conll:WORD", "*-1", false)))
+  }
+
+  test("tree2bracket on the real PTB sample reconstructs plausible brackets") {
+    val lines = scala.io.Source.fromFile("/root/reference/data/bracketing.sample.conll")
+      .getLines().toVector
+    val d = InputDoc("ptb", lines.zipWithIndex.map { case (l, i) =>
+      val kind =
+        if (l.trim.isEmpty) "sentence_break"
+        else if (l.trim.startsWith("#")) "comment" else "token"
+      Span(kind, l, "", i)
+    })
+    val cols = Seq("WORD", "POS", "PARSE_ON", "POS", "PARSE_PTB")
+    val g = SentGraph(BracketsParser.parseDoc(d, cols).head)
+    TreesScripts.tree2bracket.run(g)
+    val b = g.objects(":s1_1", "conll:PARSE_ON").headOption.getOrElse("")
+    assert(b.startsWith("(") && b.contains("(S ") && b.contains("(NP-SBJ ") && b.endsWith("*"),
+      s"got: $b")
+    val b2 = g.objects(":s1_4", "conll:PARSE_ON").headOption.getOrElse("") // Ortega = *)
+    assert(b2 == "* )", s"got: $b2")
+  }
+
   test("tree2bracket reconstructs bracket strings per node type") {
     val g = SentGraph(BracketsParser.parseDoc(bracketDoc, bracketCols).head)
     TreesScripts.tree2bracket.run(g)
