@@ -38,9 +38,13 @@ object Multimodal {
     (w, ht, dur)
   }
 
-  /** Deterministic fake payload for a media_ref (test/bench input). */
+  /** Deterministic fake payload for a media_ref (test/bench input).
+    * Seeded by the asset name (after the last '/'), so the same asset
+    * referenced from different documents yields identical bytes — giving
+    * the dedup path genuine duplicates to find. */
   def fakePayload(mediaRef: String): Array[Byte] = {
-    val seed = mediaRef.hashCode.toLong & 0xffffffffL
+    val asset = mediaRef.substring(mediaRef.lastIndexOf('/') + 1)
+    val seed = asset.hashCode.toLong & 0xffffffffL
     val n = 256 + (seed % 1024).toInt
     val out = new Array[Byte](n)
     var x = seed | 1L
