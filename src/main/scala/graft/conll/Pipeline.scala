@@ -53,6 +53,23 @@ object Pipeline {
     docs.flatMap(d => SpanParser.parseDoc(d, cols))
   }
 
+  /** Ingest TTL documents (the CoNLLRDFUpdater's input mode, SURVEY §3.2):
+    * (doc_id, ttl text) rows → sentence graphs, chunked at blank lines.
+    * Sentence numbers are recovered from the `:s{n}_0` node when present,
+    * positional otherwise. Narrow (flatMap). */
+  def parseTtl(docs: Dataset[(String, String)]): Dataset[Sentence] = {
+    import docs.sparkSession.implicits._
+    val SentNode = ":s([0-9]+)_0".r
+    docs.flatMap { case (docId, text) =>
+      TtlParser.parseDocument(text).zipWithIndex.map { case (triples, i) =>
+        val n = triples.collectFirst {
+          case Triple(SentNode(num), "rdf:type", "nif:Sentence", true) => num.toLong
+        }.getOrElse(i + 1L)
+        Sentence(docId, n, Seq.empty, triples)
+      }
+    }
+  }
+
   /** Run the rewrite cascade per sentence, to fixpoint per script, with
     * accumulator-backed metrics (reference per-update statistics,
     * CoNLLRDFUpdater.java:100,921-934). Narrow (map). */

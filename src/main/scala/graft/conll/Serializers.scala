@@ -124,6 +124,31 @@ object Serializers {
     renamed.select((Seq(col("doc_id"), col("sent"), col("tok")) ++ cols.map(col)): _*)
   }
 
+  /** K2 text rendering: one string per document — `# global.columns`
+    * header (CoNLLRDFFormatter emits it for -conll output,
+    * CoNLLRDFFormatter.java:637-658), TAB-joined rows in token order,
+    * blank line between sentences. Two aggregations (sent, then doc),
+    * both with ordered collect — no driver-side loops. */
+  def toConllText(triples: DataFrame, cols: Seq[String]): DataFrame = {
+    val wide = toConllTsv(triples, cols)
+    val line = concat_ws("\t", cols.map(col): _*)
+    val perSent = wide
+      .withColumn("line", line)
+      .groupBy(col("doc_id"), col("sent"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tok"), col("line")))),
+          x => x.getField("line")),
+        "\n").as("block"))
+    perSent
+      .groupBy(col("doc_id"))
+      .agg(concat(
+        lit(s"# global.columns = ${cols.mkString(" ")}\n"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("sent"), col("block")))),
+            x => x.getField("block")),
+          "\n\n")).as("text"))
+  }
+
   /** K3: the analyze-ud evaluation SELECT
     * (examples/sparql/analyze/eval-POSsynt.sparql) as a declarative
     * DataFrame query: per word, its surface/UPOS/EDGE/match plus the

@@ -100,6 +100,30 @@ object KgQueries {
       None
     ),
     Q(
+      // S3 ingest: canonical TTL documents re-ingested and rewritten —
+      // the CoNLLRDFUpdater input mode (equivalence with the direct path
+      // is asserted in TtlRoundtripSpec)
+      "kg_ttl_ingest",
+      (s, dir) => {
+        import s.implicits._
+        val parsed = Pipeline.parse(docs(s, dir), DocGen.columns)
+        val ttlDocs = parsed.groupByKey(_.docId).mapGroups { (id, sents) =>
+          (id, Serializers.toCanonicalTtlDocument(sents.toSeq, DocGen.columns, s"urn:graft:$id#"))
+        }
+        Pipeline.rewriteTriples(Pipeline.parseTtl(ttlDocs), Pipeline.analyzeCascade).toDF
+      },
+      None
+    ),
+    Q(
+      // K2 text sink: per-document CoNLL text with global.columns header
+      "kg_conll_text",
+      (s, dir) => {
+        val t = Pipeline.triples(Pipeline.parse(docs(s, dir), DocGen.columns)).toDF
+        Serializers.toConllText(t, Seq("ID", "WORD", "UPOS", "HEAD", "EDGE"))
+      },
+      None
+    ),
+    Q(
       // S7: XML-TSV source → powla tree triples + xAttributes2value
       "kg_xmltsv_powla",
       (s, dir) => {

@@ -13,6 +13,6 @@ class EntrySpec extends AnyFunSuite {
   test("oracleSql keys ⊆ queries keys; names unique") {
     val q = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
-    assert(q.size == 41, s"expected 41 registry entries, got ${q.size}")
+    assert(q.size == 43, s"expected 43 registry entries, got ${q.size}")
   }
 }

@@ -85,6 +85,40 @@ class TtlRoundtripSpec extends AnyFunSuite {
     assert(sents(1).triples.exists(t => t.p == "rdfs:comment" && t.o == "newsegment"))
   }
 
+  test("TTL ingestion: K1 document → parseTtl → rewrite equals the direct path") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val docs = DocGen.docs(spark, 8)
+    val direct = Pipeline.rewriteTriples(
+      Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)
+    // serialize every doc to canonical TTL, then ingest the TTL stream
+    val ttlDocs = Pipeline.parse(docs, DocGen.columns)
+      .groupByKey(_.docId)
+      .mapGroups { (id, sents) =>
+        (id, Serializers.toCanonicalTtlDocument(sents.toSeq, DocGen.columns, s"urn:graft:$id#"))
+      }
+    val viaTtl = Pipeline.rewriteTriples(Pipeline.parseTtl(ttlDocs), Pipeline.analyzeCascade)
+    assert(direct.toDF.exceptAll(viaTtl.toDF).isEmpty)
+    assert(viaTtl.toDF.exceptAll(direct.toDF).isEmpty)
+  }
+
+  test("K2 text rendering: global.columns header + TAB rows + sentence breaks") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val rows = Seq("1\ta\tDET\t2\tdet", "2\tb\tNOUN\t0\troot", "", "1\tc\tVERB\t0\troot", "")
+    val spans = rows.zipWithIndex.map { case (r, i) =>
+      Span(if (r.isEmpty) "sentence_break" else "token", r, "", i)
+    }
+    val sents = SpanParser.parseDoc(InputDoc("d", spans), cols)
+    val t = spark.createDataset(sents.flatMap(s =>
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+    val text = Serializers.toConllText(t, Seq("ID", "WORD", "UPOS"))
+      .select($"text").as[String].head()
+    assert(text ==
+      "# global.columns = ID WORD UPOS\n" +
+        "1\ta\tDET\n2\tb\tNOUN\n\n1\tc\tVERB")
+  }
+
   test("runTraced dumps one sorted snapshot per changed statement (K4 gating)") {
     val g = SentGraph(sentence(Seq(
       "1\tthe\tDET\t2\tdet",
