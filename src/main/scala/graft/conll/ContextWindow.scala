@@ -49,4 +49,28 @@ object ContextWindow {
     import ctx.sparkSession.implicits._
     ctx.map(rule)
   }
+
+  /** Demonstration cross-sentence rule (the reference exposes lookback/
+    * lookahead graphs to user scripts, README.md:160-166, but bundles no
+    * script that uses them): a sentence-initial pronoun is annotated with
+    * the nearest preceding sentence's subject surface form as
+    * `conll:ANTECEDENT` — the lookback graph read is the point, not the
+    * linguistics. */
+  def pronounAntecedent(c: SentenceWithContext): Sentence = {
+    val g = SentGraph(c.sentence)
+    val firstWord = g.words.headOption
+    val isPronoun = firstWord.exists(w =>
+      g.objects(w, "conll:UPOS").contains("PRON"))
+    if (isPronoun) {
+      val antecedent = c.lookback.reverseIterator.flatMap { prev =>
+        val pg = SentGraph(prev)
+        pg.pairs("conll:EDGE").collect {
+          case (w, "nsubj", _) => pg.objects(w, "conll:WORD").headOption
+        }.flatten.lastOption
+      }.find(_ => true)
+      antecedent.foreach(a =>
+        g.add(Triple(firstWord.get, "conll:ANTECEDENT", a, oUri = false)))
+    }
+    SentGraph.toSentence(c.sentence.docId, c.sentence.sent, c.sentence.comments, g)
+  }
 }

@@ -24,6 +24,27 @@ class ContextEvalSpec extends AnyFunSuite {
     assert(withLb.nonEmpty && withLb.forall(_.lookback.nonEmpty))
   }
 
+  test("cross-sentence rule reads the lookback graph (U14 demonstration)") {
+    import spark.implicits._
+    val rows = Seq(
+      "1\tdog\tNOUN\t2\tnsubj", "2\truns\tVERB\t0\troot", "",
+      "1\tit\tPRON\t2\tnsubj", "2\tsleeps\tVERB\t0\troot", ""
+    )
+    val spans = rows.zipWithIndex.map { case (r, i) =>
+      Span(if (r.isEmpty) "sentence_break" else "token", r, "", i)
+    }
+    val docs = Seq(InputDoc("d1", spans)).toDS
+    val sents = Pipeline.parse(docs, Seq("ID", "WORD", "UPOS", "HEAD", "EDGE"))
+    val out = ContextWindow.rewriteWithContext(
+      ContextWindow.attach(sents, lookback = 2, lookahead = 0))(
+      ContextWindow.pronounAntecedent)
+    val s2 = out.filter(_.sent == 2L).head()
+    assert(s2.triples.contains(Triple(":s2_1", "conll:ANTECEDENT", "dog", false)))
+    // sentence 1 has no lookback → unannotated
+    val s1 = out.filter(_.sent == 1L).head()
+    assert(!s1.triples.exists(_.p == "conll:ANTECEDENT"))
+  }
+
   test("eval-POSsynt SELECT: one row per word, group_concat columns sorted") {
     import spark.implicits._
     val docs = DocGen.docs(spark, 8)
