@@ -167,7 +167,72 @@ object Serializers {
       .join(vals("conll:POSsynt_match", "match"), Seq("doc_id", "sent", "subj"))
       .join(concatVals("conll:POSsynt_UPOS", "POSsynt_UPOS"), Seq("doc_id", "sent", "subj"), "left_outer")
       .join(concatVals("conll:POSsynt_UD", "POSsynt_UDEP"), Seq("doc_id", "sent", "subj"), "left_outer")
+      // SPARQL group_concat over an unbound OPTIONAL yields "" (not NULL)
+      .na.fill("", Seq("POSsynt_UPOS", "POSsynt_UDEP"))
       .select(col("doc_id"), col("sent"), col("subj"), col("word"), col("upos"),
         col("udep"), col("POSsynt_UPOS"), col("POSsynt_UDEP"), col("match"))
   }
+
+  /** K3 generic SELECT surface: examples/sparql/select-conllu.sparql —
+    * CoNLL-U reconstruction where word order comes from the nif:nextWord*
+    * chain (the reference computes `?ordinal` as count(nextWord*) and
+    * orders by desc(?ordinal), select-conllu.sparql:13-48; walking the
+    * chain is the same order, computed in the per-sentence regime of U12
+    * — zero shuffle, the graph is already sentence-local). Multi-values
+    * are group_concat'd with '|'; HEAD URIs are rendered as the reference's
+    * strafter(strafter(str(?headurl),"#s"),"_") — the part after the '_'. */
+  def selectConllU(sents: Dataset[Sentence], cols: Seq[String]): DataFrame = {
+    import sents.sparkSession.implicits._
+    val isHead: Seq[Boolean] = cols.map(_.toUpperCase.matches("^HEAD[0-9]*$"))
+    val rows = sents.flatMap { s =>
+      val g = SentGraph(s)
+      val next = g.pairs("nif:nextWord").map(t => t._1 -> t._2).toMap
+      val words = g.words
+      val incoming = next.values.toSet
+      // chain heads (no incoming nextWord); deterministic across runs
+      val starts = words.filterNot(incoming.contains)
+        .sortBy(graft.functions.Lexiconumeric.keyString)
+      val seen = scala.collection.mutable.HashSet[String]()
+      val order = scala.collection.mutable.ArrayBuffer[String]()
+      for (st <- starts) {
+        var cur: String = st
+        while (cur != null && seen.add(cur)) {
+          order += cur
+          cur = next.getOrElse(cur, null)
+        }
+      }
+      order.iterator.zipWithIndex.map { case (w, i) =>
+        val cells = cols.zip(isHead).map { case (c, hd) =>
+          val vs = g.objects(w, s"conll:$c")
+          val rendered = if (hd) vs.map(_.replaceFirst("^:s[0-9]+_", "")) else vs
+          rendered.sorted.mkString("|")
+        }
+        (s.docId, s.sent, i + 1, cells)
+      }.toSeq
+    }.toDF("doc_id", "sent", "ord", "cells")
+    cols.zipWithIndex.foldLeft(rows) { case (df, (c, i)) =>
+      df.withColumn(c, col("cells").getItem(i))
+    }.drop("cells")
+  }
+
+  /** K3: examples/sparql/select-sentence-strings.sparql — sentence strings
+    * from conll:WORD triples, ordered by the numeric token id extracted
+    * from the subject URI (the reference's BIND(replace(...)) pair). Fully
+    * declarative: one groupBy shuffle. */
+  def selectSentenceStrings(triples: DataFrame): DataFrame =
+    triples.filter(col("pred") === "conll:WORD")
+      .withColumn("tid",
+        regexp_extract(col("subj"), "s[0-9]+_([0-9]+)$", 1).cast("bigint"))
+      .withColumn("sent_id",
+        regexp_extract(col("subj"), "s([0-9]+)_[0-9]+$", 1).cast("bigint"))
+      .groupBy(col("doc_id"), col("sent_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tid"), col("obj")))),
+          x => x.getField("obj")),
+        " ").as("sentence"))
+
+  /** K3: examples/sparql/count_xml_triples.sparql. */
+  def countXmlTriples(triples: DataFrame): DataFrame =
+    triples.filter(col("pred") === "rdf:type" && col("obj") === "conll:XML_DATA")
+      .agg(count(lit(1)).as("n"))
 }

@@ -1,0 +1,303 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.conll.{InputDoc, Span}
+
+/** Driver-checkable KG-pipeline inputs: a deterministic CoNLL-U-shaped
+  * token table derived from the `documents` parquet, fed through the REAL
+  * engine (SpanParser → SentGraph → Rules → AnalyzeScripts → triples), with
+  * a full DuckDB-SQL mirror of the analyze cascade so the driver's
+  * rows+schema+hash gate covers the engine's core (VERDICT r1 item 1).
+  *
+  * Determinism: every derived attribute is a pure function of md5(word) —
+  * computable bit-identically in DuckDB:
+  *   - UPOS: first md5 hex digit (same mapping as q17);
+  *   - HEAD: tok 1 → 0 (root), else tok/2 — the q30 deterministic tree;
+  *   - EDGE: 'root' for tok 1, else the 2nd md5 hex digit mapped onto 16
+  *     UD labels chosen to exercise every EDGE-to-POSsynt statement
+  *     (incl. neg → the two guarded stages, conj → both propagation hops,
+  *     and ccomp which ALSO matches the unanchored-suffix '^(cc)' rule —
+  *     the cascade semantics are whatever the reference's regexes say,
+  *     reproduced verbatim on both sides).
+  *
+  * The `documents` corpus is single-space-separated [a-z0-9]+ words
+  * (verified at sf0.01/sf0.1), so no cell ever hits the parser's
+  * empty-cell / comment-strip / markup paths — those stay covered by the
+  * DocGen golden suites.
+  */
+object KgOracle {
+
+  val detCols: Seq[String] = Seq("ID", "WORD", "UPOS", "HEAD", "EDGE")
+
+  def md5hex(v: String): String = graft.functions.Hashing.md5hex(v)
+
+  /** Must match TextQueries.uposOf / uposSql exactly. */
+  def uposFromHex(c: Char): String = c match {
+    case '0' | '1' | '2' | '3' => "NOUN"
+    case '4' | '5'             => "VERB"
+    case '6'                   => "ADJ"
+    case '7'                   => "ADV"
+    case '8'                   => "ADP"
+    case '9'                   => "AUX"
+    case 'a'                   => "DET"
+    case 'b'                   => "PRON"
+    case 'c'                   => "SCONJ"
+    case 'd'                   => "CONJ"
+    case 'e'                   => "PART"
+    case _                     => "PUNCT"
+  }
+
+  private val edgeLabels = Vector(
+    "nsubj", "obj", "obl", "ccomp", "advmod", "mark", "neg", "nmod",
+    "appos", "amod", "det", "case", "acl", "punct", "cc", "conj")
+
+  def edgeFromHex(c: Char): String = {
+    val i = "0123456789abcdef".indexOf(c)
+    edgeLabels(if (i < 0) 15 else i)
+  }
+
+  /** documents.parquet → deterministic single-sentence CoNLL-U span docs.
+    * Narrow (one typed map over the scan); the doc_id is stringified to the
+    * span-table contract. */
+  def detDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        val words = text.split("\\s+")
+        val spans = words.iterator.zipWithIndex.map { case (w, idx) =>
+          val tok = idx + 1
+          val h = md5hex(w)
+          val upos = uposFromHex(h.charAt(0))
+          val head = if (tok == 1) 0 else tok / 2
+          val edge = if (tok == 1) "root" else edgeFromHex(h.charAt(1))
+          Span("token", s"$tok\t$w\t$upos\t$head\t$edge", "", idx)
+        }.toSeq
+        InputDoc(docId, spans)
+      }
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB mirror
+  // ------------------------------------------------------------------
+
+  private val edgeCaseSql: String = {
+    val whens = "0123456789abcde".zip(edgeLabels).map { case (c, l) =>
+      s"WHEN '$c' THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN tok = 1 THEN 'root' ELSE CASE substring(md5(word),2,1) $whens ELSE 'conj' END END"
+  }
+
+  /** tk (doc_id VARCHAR, tok, word, ntok) + tok2 (+ upos, head, edge). */
+  val detCte: String =
+    s"""WITH tk AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i AS BIGINT) AS tok,
+             w AS word, CAST(mx AS BIGINT) AS ntok FROM (
+        SELECT doc_id, unnest(words) AS w, unnest(range(1, len(words)+1)) AS i,
+               len(words) AS mx
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents) t0) t1
+    ), tok2 AS MATERIALIZED (
+      SELECT doc_id, tok, word, ntok,
+        ${TextQueries.uposSql} AS upos,
+        CASE WHEN tok = 1 THEN 0 ELSE tok // 2 END AS head,
+        $edgeCaseSql AS edge
+      FROM tk
+    )"""
+
+  /** The analyze cascade as a CTE chain, statement by statement, with the
+    * exact sequential-visibility semantics of Rules.Script (each statement
+    * evaluates its WHERE against the state left by the previous one; the
+    * regex strings are the reference's, verbatim — AnalyzeScripts.scala,
+    * examples/sparql/analyze/{UPOS,EDGE}-to-POSsynt.sparql,
+    * consolidate-POSsynt.sparql). `ud1` = POSsynt_UD after pruning,
+    * `ups1` = POSsynt_UPOS after pruning, `mt` = POSsynt_match. */
+  val cascadeCte: String =
+    """, e AS MATERIALIZED (SELECT doc_id, tok AS w, head AS h, edge FROM tok2)
+    , ps4 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, tok, v FROM (
+        SELECT doc_id, w AS tok, 'N' AS v FROM e WHERE regexp_matches(edge, '^(nsubj|obj|dobj|iobj|obl|vocative|expl|dislocated)')
+        UNION ALL SELECT doc_id, h, 'V' FROM e WHERE regexp_matches(edge, '^(nsubj|obj|dobj|iobj|obl|vocative|expl|dislocated)')
+        UNION ALL SELECT doc_id, w, 'V' FROM e WHERE regexp_matches(edge, '^(csubj|ccomp|xcomp|advcl|aux|cop)')
+        UNION ALL SELECT doc_id, h, 'V' FROM e WHERE regexp_matches(edge, '^(csubj|ccomp|xcomp|advcl|aux|cop)')
+        UNION ALL SELECT doc_id, w, 'AV' FROM e WHERE regexp_matches(edge, '^(advmod)')
+        UNION ALL SELECT doc_id, w, 'AV' FROM e WHERE regexp_matches(edge, '^(discourse|mark)')
+        UNION ALL SELECT doc_id, h, 'V' FROM e WHERE regexp_matches(edge, '^(discourse|mark)')) u0)
+    , ps5 AS MATERIALIZED (
+      SELECT doc_id, tok, v FROM ps4
+      UNION
+      SELECT e.doc_id, e.w, 'AV' FROM e
+      WHERE regexp_matches(e.edge, '^(neg)')
+        AND NOT EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.tok = e.w)
+        AND EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.tok = e.h)
+        AND NOT EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.tok = e.h AND p.v = 'N'))
+    , ps8 AS MATERIALIZED (
+      SELECT doc_id, tok, v FROM ps5
+      UNION
+      SELECT doc_id, tok, v FROM (
+        SELECT doc_id, w AS tok, 'N' AS v FROM e WHERE regexp_matches(edge, '^(nmod|appos|name)')
+        UNION ALL SELECT doc_id, h, 'N' FROM e WHERE regexp_matches(edge, '^(nmod|appos|name)')
+        UNION ALL SELECT doc_id, w, 'AN' FROM e WHERE regexp_matches(edge, '^(nummod|amod|det|clf|case)')
+        UNION ALL SELECT doc_id, h, 'N' FROM e WHERE regexp_matches(edge, '^(nummod|amod|det|clf|case)')
+        UNION ALL SELECT doc_id, w, 'V' FROM e WHERE regexp_matches(edge, '^(acl)')
+        UNION ALL SELECT doc_id, h, 'N' FROM e WHERE regexp_matches(edge, '^(acl)')) u1)
+    , ps9 AS MATERIALIZED (
+      SELECT doc_id, tok, v FROM ps8
+      UNION
+      SELECT e.doc_id, e.w, 'AN' FROM e
+      WHERE regexp_matches(e.edge, '^(neg)')
+        AND EXISTS (SELECT 1 FROM ps8 p WHERE p.doc_id = e.doc_id AND p.tok = e.h AND p.v = 'N'))
+    , ps11 AS MATERIALIZED (
+      SELECT doc_id, tok, v FROM ps9
+      UNION SELECT doc_id, w, 'X' FROM e WHERE regexp_matches(edge, '^(punct|foreign)')
+      UNION SELECT doc_id, w, 'RM' FROM e WHERE regexp_matches(edge, '^(cc)'))
+    , ps12 AS MATERIALIZED (
+      SELECT doc_id, tok, v FROM ps11
+      UNION
+      SELECT e.doc_id, e.h, p.v FROM e
+      JOIN ps11 p ON p.doc_id = e.doc_id AND p.tok = e.w
+      WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
+        AND NOT EXISTS (SELECT 1 FROM ps11 q WHERE q.doc_id = e.doc_id AND q.tok = e.h)
+      UNION
+      SELECT e.doc_id, e.w, p.v FROM e
+      JOIN ps11 p ON p.doc_id = e.doc_id AND p.tok = e.h
+      WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
+        AND NOT EXISTS (SELECT 1 FROM ps11 q WHERE q.doc_id = e.doc_id AND q.tok = e.w))
+    , ps13 AS MATERIALIZED (
+      SELECT doc_id, tok, v FROM ps12
+      UNION
+      SELECT e.doc_id, e.h, p.v FROM e
+      JOIN ps12 p ON p.doc_id = e.doc_id AND p.tok = e.w
+      WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
+        AND NOT EXISTS (SELECT 1 FROM ps12 q WHERE q.doc_id = e.doc_id AND q.tok = e.h)
+      UNION
+      SELECT e.doc_id, e.w, p.v FROM e
+      JOIN ps12 p ON p.doc_id = e.doc_id AND p.tok = e.h
+      WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
+        AND NOT EXISTS (SELECT 1 FROM ps12 q WHERE q.doc_id = e.doc_id AND q.tok = e.w))
+    , ps14 AS MATERIALIZED (
+      SELECT doc_id, tok, v FROM ps13
+      UNION
+      SELECT e.doc_id, e.w, 'V' FROM e
+      WHERE regexp_matches(e.edge, '^(root)')
+        AND NOT EXISTS (SELECT 1 FROM ps13 p WHERE p.doc_id = e.doc_id AND p.tok = e.w))
+    , uu AS MATERIALIZED (
+      SELECT doc_id, tok,
+        CASE WHEN regexp_matches(upos, 'NOUN|PROPN|PRON') THEN 'N'
+             WHEN regexp_matches(upos, 'VERB|AUX') THEN 'V'
+             WHEN regexp_matches(upos, 'ADJ|DET|NUM') THEN 'AN'
+             WHEN regexp_matches(upos, 'ADV|PART') THEN 'AV'
+             WHEN upos = 'ADP' THEN 'RN'
+             WHEN upos = 'SCONJ' THEN 'RV'
+             WHEN upos = 'CONJ' THEN 'RM'
+             ELSE 'X' END AS v
+      FROM tok2
+      UNION ALL
+      SELECT doc_id, tok, CASE WHEN upos = 'ADP' THEN 'AN' ELSE 'AV' END
+      FROM tok2 WHERE upos IN ('ADP', 'SCONJ'))
+    , ud1 AS MATERIALIZED (
+      SELECT p.doc_id, p.tok, p.v FROM ps14 p WHERE NOT EXISTS (
+        SELECT 1 FROM ps14 v JOIN uu u
+          ON u.doc_id = v.doc_id AND u.tok = v.tok AND u.v = v.v
+        WHERE v.doc_id = p.doc_id AND v.tok = p.tok AND v.v <> p.v))
+    , ups1 AS MATERIALIZED (
+      SELECT p.doc_id, p.tok, p.v FROM uu p WHERE NOT EXISTS (
+        SELECT 1 FROM ud1 v JOIN uu u
+          ON u.doc_id = v.doc_id AND u.tok = v.tok AND u.v = v.v
+        WHERE v.doc_id = p.doc_id AND v.tok = p.tok AND v.v <> p.v))
+    , mt AS MATERIALIZED (
+      SELECT t.doc_id, t.tok,
+        CASE WHEN EXISTS (
+          SELECT 1 FROM ud1 v JOIN ups1 u
+            ON u.doc_id = v.doc_id AND u.tok = v.tok AND u.v = v.v
+          WHERE v.doc_id = t.doc_id AND v.tok = t.tok) THEN '1' ELSE '0' END AS v
+      FROM tok2 t)"""
+
+  /** Full triple table of the analyze-cascade output. */
+  val analyzeSql: String =
+    s"""$detCte $cascadeCte
+    SELECT doc_id, CAST(1 AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, ':s1_0' AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'rdf:type', 'nif:Word', TRUE FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'nif:nextWord', ':s1_' || CAST(tok + 1 AS VARCHAR), TRUE FROM tok2 WHERE tok < ntok
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:ID', CAST(tok AS VARCHAR), FALSE FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:WORD', word, FALSE FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:UPOS', upos, FALSE FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:HEAD', ':s1_' || CAST(head AS VARCHAR), TRUE FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:EDGE', edge, FALSE FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_UPOS', v, FALSE FROM ups1
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_UD', v, FALSE FROM ud1
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_match', v, FALSE FROM mt
+    ) u ORDER BY doc_id, subj, pred, obj""".stripMargin
+
+  /** K2 TSV export (toConllTsv) over the parse-only det pipeline. */
+  val conllExportSql: String =
+    s"""$detCte
+    SELECT doc_id, CAST(1 AS BIGINT) AS sent, CAST(tok AS INT) AS tok,
+      CAST(tok AS VARCHAR) AS ID, word AS WORD, upos AS UPOS,
+      CAST(head AS VARCHAR) AS HEAD, edge AS EDGE
+    FROM tok2 ORDER BY doc_id, tok"""
+
+  /** K2 text sink (toConllText): one string per document. */
+  val conllTextSql: String =
+    s"""$detCte
+    SELECT doc_id,
+      '# global.columns = ID WORD UPOS HEAD EDGE' || chr(10) ||
+      string_agg(CAST(tok AS VARCHAR) || chr(9) || word || chr(9) || upos ||
+                 chr(9) || CAST(head AS VARCHAR) || chr(9) || edge,
+                 chr(10) ORDER BY tok) AS text
+    FROM tok2 GROUP BY doc_id ORDER BY doc_id"""
+
+  /** K3 eval-POSsynt SELECT over the analyze output. */
+  val evalPossyntSql: String =
+    s"""$detCte $cascadeCte
+    SELECT t.doc_id, CAST(1 AS BIGINT) AS sent,
+      ':s1_' || CAST(t.tok AS VARCHAR) AS subj,
+      t.word, t.upos, t.edge AS udep,
+      COALESCE((SELECT string_agg(v, ' ' ORDER BY v) FROM ups1 p
+                WHERE p.doc_id = t.doc_id AND p.tok = t.tok), '') AS "POSsynt_UPOS",
+      COALESCE((SELECT string_agg(v, ' ' ORDER BY v) FROM ud1 p
+                WHERE p.doc_id = t.doc_id AND p.tok = t.tok), '') AS "POSsynt_UDEP",
+      m.v AS "match"
+    FROM tok2 t JOIN mt m ON m.doc_id = t.doc_id AND m.tok = t.tok
+    ORDER BY t.doc_id, t.tok"""
+
+  /** K3 generic select-conllu.sparql over the parse-only det pipeline. */
+  val selectConlluSql: String =
+    s"""$detCte
+    SELECT doc_id, CAST(1 AS BIGINT) AS sent, CAST(tok AS INT) AS ord,
+      CAST(tok AS VARCHAR) AS ID, word AS WORD, upos AS UPOS,
+      CAST(head AS VARCHAR) AS HEAD, edge AS EDGE
+    FROM tok2 ORDER BY doc_id, ord"""
+
+  /** K3 select-sentence-strings.sparql. */
+  val selectSentencesSql: String =
+    s"""$detCte
+    SELECT doc_id, CAST(1 AS BIGINT) AS sent_id,
+      string_agg(word, ' ' ORDER BY tok) AS sentence
+    FROM tok2 GROUP BY doc_id ORDER BY doc_id"""
+
+  /** K4 sorted N-Triples lines over the parse-only det pipeline (expanded
+    * URIs, escaped literals — Serializers.toSortedNTriples). The engine
+    * side sorts within partitions only (the 100 TB plan); the compare is
+    * order-insensitive (the driver sorts rows before hashing). */
+  val sortedNtriplesSql: String = {
+    val conll = "http://ufal.mff.cuni.cz/conll2009-st/task-description.html#"
+    val nif = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    s"""$detCte
+    SELECT '<urn:graft:' || doc_id || '#s1_' || CAST(tok AS VARCHAR) || '> <' || p ||
+           '> ' || o || ' .' AS line FROM (
+      SELECT doc_id, tok, '$rdfType' AS p, '<${nif}Word>' AS o FROM tok2
+      UNION ALL SELECT doc_id, tok, '${nif}nextWord',
+        '<urn:graft:' || doc_id || '#s1_' || CAST(tok + 1 AS VARCHAR) || '>' FROM tok2 WHERE tok < ntok
+      UNION ALL SELECT doc_id, tok, '${conll}ID', '"' || CAST(tok AS VARCHAR) || '"' FROM tok2
+      UNION ALL SELECT doc_id, tok, '${conll}WORD', '"' || word || '"' FROM tok2
+      UNION ALL SELECT doc_id, tok, '${conll}UPOS', '"' || upos || '"' FROM tok2
+      UNION ALL SELECT doc_id, tok, '${conll}HEAD',
+        '<urn:graft:' || doc_id || '#s1_' || CAST(head AS VARCHAR) || '>' FROM tok2
+      UNION ALL SELECT doc_id, tok, '${conll}EDGE', '"' || edge || '"' FROM tok2) u
+    UNION ALL
+    SELECT DISTINCT '<urn:graft:' || doc_id || '#s1_0> <$rdfType> <${nif}Sentence> .' FROM tok2"""
+  }
+}

@@ -53,7 +53,7 @@ object TextQueries {
       .otherwise("PUNCT")
   }
 
-  private val uposSql =
+  private[queries] val uposSql =
     """CASE WHEN substring(md5(word),1,1) IN ('0','1','2','3') THEN 'NOUN'
         WHEN substring(md5(word),1,1) IN ('4','5') THEN 'VERB'
         WHEN substring(md5(word),1,1) = '6' THEN 'ADJ'

@@ -13,6 +13,12 @@ class EntrySpec extends AnyFunSuite {
   test("oracleSql keys ⊆ queries keys; names unique") {
     val q = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
-    assert(q.size == 43, s"expected 43 registry entries, got ${q.size}")
+    assert(q.size == 46, s"expected 46 registry entries, got ${q.size}")
+    // round-2 gate: the KG/mm core must be oracle-backed (VERDICT r1 #1)
+    val oracleBacked = SparkEntry.oracleSql.keySet
+    assert(Seq("kg_pipeline_analyze", "kg_eval_possynt", "kg_conll_export",
+      "kg_conll_text", "kg_select_conllu", "kg_select_sentences",
+      "kg_sorted_ntriples", "mm_media_meta", "mm_frame_dups")
+      .forall(oracleBacked.contains))
   }
 }

@@ -32,14 +32,18 @@ for name, sql in sorted(oracle.items()):
     if len(exp) != len(got):
         print(f"ROWCOUNT MISMATCH {name}: oracle={len(exp)} spark={len(got)}")
         fail += 1; continue
-    # driver-style value hash: stringify everything, row-order sensitive
-    es = exp.astype(str); gs = got.astype(str)
+    # driver-style value hash: stringify everything, then sort rows by all
+    # columns (the driver sorts each frame before hashing — see the
+    # sort_values in CORRECTNESS_r01's mm_frame_dups traceback), so the
+    # compare is row-order-insensitive as long as dtypes line up
+    es = exp.astype(str).sort_values(list(exp.columns)).reset_index(drop=True)
+    gs = got.astype(str).sort_values(list(got.columns)).reset_index(drop=True)
     if not es.equals(gs):
         neq = (es != gs).any(axis=1)
         print(f"VALUE MISMATCH {name}: {neq.sum()} rows differ; first:")
         idx = neq.idxmax()
-        print("  oracle:", exp.iloc[idx].to_dict())
-        print("  spark :", got.iloc[idx].to_dict())
+        print("  oracle:", es.iloc[idx].to_dict())
+        print("  spark :", gs.iloc[idx].to_dict())
         fail += 1; continue
     print(f"OK {name} ({len(exp)} rows)")
     ok += 1
