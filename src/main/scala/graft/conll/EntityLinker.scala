@@ -55,6 +55,37 @@ object EntityLinker {
     else linkSalted(triples, gazetteer)
   }
 
+  /** triples ∪ entity links, size-routed. The broadcast regime is FUSED:
+    * one narrow flatMap emits each original triple plus its entity triple
+    * (map-side hash lookup) — no cache, no second pass over the rewrite
+    * cascade, zero shuffle; at 100 TB this is strictly better than
+    * `t.union(broadcastJoin(t))`, which consumes `t` twice. The salted
+    * regime keeps the explicit union (the shuffle join needs its own
+    * pass); there the caller should persist `triples` if recompute is
+    * expensive. The bounded `limit(max+1).collect()` probe doubles as the
+    * broadcast payload. */
+  def linkUnioned(
+      triples: org.apache.spark.sql.Dataset[TripleRow],
+      gazetteer: DataFrame,
+      broadcastMax: Int = 1000000): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val probe = gazetteer.select(col("surface"), col("entity_id"))
+      .limit(broadcastMax + 1).collect()
+    if (probe.length <= broadcastMax) {
+      val b = spark.sparkContext.broadcast(
+        probe.map(r => r.getString(0) -> r.getString(1)).toMap)
+      triples.flatMap { t =>
+        if (t.pred == "conll:WORD") b.value.get(t.obj.toLowerCase) match {
+          case Some(e) =>
+            Seq(t, TripleRow(t.doc_id, t.sent, t.subj, "conll:ENTITY", e, obj_is_uri = true))
+          case None => Seq(t)
+        }
+        else Seq(t)
+      }.toDF
+    } else triples.toDF.unionByName(linkSalted(triples.toDF, gazetteer))
+  }
+
   /** Derive a deterministic gazetteer from a vocabulary DataFrame(word). */
   def gazetteerFromVocab(vocab: DataFrame): DataFrame =
     vocab.select(lower(col("word")).as("surface")).distinct()

@@ -35,26 +35,47 @@ object AnnQueries {
   val all: Seq[Q] = Seq(
     Q(
       // Brute-force cosine top-5: queries = vec_id < 10, corpus = the rest.
+      // Scale path: the bounded query set is collected + broadcast as
+      // arrays; each corpus partition computes exact-decimal cosines in a
+      // narrow pass and emits only its per-query top-5 (map-side combine),
+      // so the final window sees ≤ 5·|queries|·partitions rows. No
+      // exploded join on the 64-key dimension index (VERDICT r1 #4).
       "q28_ann_topk",
       (s, dir) => {
         import s.implicits._
-        val ex = exploded(s, dir)
-        val nrm = ex.groupBy($"vec_id")
-          .agg(sum(($"x" * $"x").cast("decimal(38,18)")).as("nsq"))
-        val qe = ex.filter($"vec_id" < 10)
-          .select($"vec_id".as("q_id"), $"i", $"x")
-        val ce = ex.filter($"vec_id" >= 10)
-          .select($"vec_id".as("c_id"), $"i", $"x".as("y"))
-        val dots = qe.join(ce, "i")
-          .groupBy($"q_id", $"c_id")
-          .agg(sum(($"x" * $"y").cast("decimal(38,18)")).as("dot"))
-        val sims = dots
-          .join(nrm.select($"vec_id".as("q_id"), $"nsq".as("na")), "q_id")
-          .join(nrm.select($"vec_id".as("c_id"), $"nsq".as("nb")), "c_id")
-          .withColumn("sim",
-            $"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double")))
+        val emb = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        val queries = emb.filter(_._1 < 10).collect().sortBy(_._1)
+          .map { case (id, v) => (id, v, DecimalDot.normSq(v)) }
+        val qB = s.sparkContext.broadcast(queries)
+        val survivors = emb.filter(_._1 >= 10).mapPartitions { it =>
+          val qs = qB.value
+          val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double)]) // (c_id, sim), kept sorted best-first
+          def better(a: (Long, Double), b: (Long, Double)): Boolean =
+            a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+          for ((cid, v) <- it) {
+            val nb = DecimalDot.normSq(v)
+            var qi = 0
+            while (qi < qs.length) {
+              val (_, qv, na) = qs(qi)
+              val sim = DecimalDot.cosine(DecimalDot.dot(qv, v), na, nb)
+              val h = heaps(qi)
+              val cand = (cid, sim)
+              if (h.length < 5 || better(cand, h.last)) {
+                val at = h.indexWhere(e => better(cand, e))
+                if (at < 0) h.append(cand) else h.insert(at, cand)
+                if (h.length > 5) h.remove(5)
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.map { case (cid, sim) => (qs(qi)._1, cid, sim) }
+          }
+        }.toDF("q_id", "c_id", "sim")
         val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
-        sims.withColumn("rnk", row_number().over(w))
+        survivors.withColumn("rnk", row_number().over(w))
           .filter($"rnk" <= 5)
           .select($"q_id", $"rnk", $"c_id", round($"sim", 6).as("sim"))
           .orderBy($"q_id", $"rnk")

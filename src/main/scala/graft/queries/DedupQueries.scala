@@ -78,19 +78,33 @@ object DedupQueries {
     Q(
       // MinHash-LSH near-dup detection: 8 bands of 1 row → candidate pairs
       // sharing any minhash, then exact shingle-set Jaccard verification.
+      // Scale hardening (VERDICT r1 #5 + q22 audit): the minhash table and
+      // the distinct shingle sets feed 2–3 consumers each — persisted once
+      // instead of recomputing the window-shuffle cascade per consumer;
+      // and buckets holding > 100 docs are skipped as degenerate (a pile
+      // of identical docs makes the band self-join quadratic in the
+      // bucket — exact-dup clusters belong to q20's hash pass). The cap
+      // is mirrored in the oracle SQL.
       "q22_lsh_jaccard",
       (s, dir) => {
         import s.implicits._
         val mh = minhashDf(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bands = (0 until 8).map(j =>
           mh.select($"doc_id", lit(j).as("band"), col(s"mh$j").as("bucket")))
-        val candidates = bands.reduce(_ unionByName _)
-          .alias("l").join(bands.reduce(_ unionByName _).alias("r"),
+        val wB = Window.partitionBy($"band", $"bucket")
+        val banded = bands.reduce(_ unionByName _)
+          .withColumn("bn", count(lit(1)).over(wB))
+          .filter($"bn" <= 100)
+          .drop("bn")
+        val candidates = banded
+          .alias("l").join(banded.alias("r"),
             col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
               col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
           .distinct()
         val sets = shingles(s, dir).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val inter = candidates
           .join(sets.select($"doc_id".as("a"), $"shingle"), "a")
@@ -117,9 +131,14 @@ object DedupQueries {
           UNION ALL SELECT doc_id, 5, mh5 FROM mh
           UNION ALL SELECT doc_id, 6, mh6 FROM mh
           UNION ALL SELECT doc_id, 7, mh7 FROM mh),
+        bandsf AS (
+          SELECT doc_id, band, bucket FROM (
+            SELECT doc_id, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM bands) b WHERE bn <= 100),
         cand AS (
-          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bands l
-          JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bandsf l
+          JOIN bandsf r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
         dsets AS (SELECT DISTINCT doc_id, shingle FROM sh),
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsets GROUP BY doc_id),
         inter AS (

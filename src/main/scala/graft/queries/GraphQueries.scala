@@ -49,42 +49,76 @@ object GraphQueries {
       "q31_ann_ivf",
       (s, dir) => {
         import s.implicits._
-        val ex = Tables.embeddings(s, dir)
-          .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
-          .select($"vec_id", ($"pos" + 1).cast("int").as("i"), $"xf".cast("double").as("x"))
-        val nrm = ex.groupBy($"vec_id")
-          .agg(sum(($"x" * $"x").cast("decimal(38,18)")).as("nsq"))
-        def sims(left: DataFrame, right: DataFrame): DataFrame =
-          left.join(right, "i")
-            .groupBy($"a", $"b")
-            .agg(sum(($"x" * $"y").cast("decimal(38,18)")).as("dot"))
-            .join(nrm.select($"vec_id".as("a"), $"nsq".as("na")), "a")
-            .join(nrm.select($"vec_id".as("b"), $"nsq".as("nb")), "b")
-            .withColumn("sim",
-              $"dot".cast("double") / sqrt($"na".cast("double") * $"nb".cast("double")))
-        val cents = ex.filter($"vec_id" % 50 === 0)
-          .select($"vec_id".as("b"), $"i", $"x".as("y"))
-        val others = ex.select($"vec_id".as("a"), $"i", $"x")
-        // assign every vector to its nearest centroid
-        val wAssign = Window.partitionBy($"a").orderBy($"sim".desc, $"b")
-        val assign = sims(others, cents)
-          .withColumn("rn", row_number().over(wAssign))
-          .filter($"rn" === 1)
-          .select($"a".as("vec_id"), $"b".as("centroid_id"))
-        // probe: queries (vec_id < 10) search within their own cell
-        val queries = assign.filter($"vec_id" < 10)
-          .select($"vec_id".as("q_id"), $"centroid_id")
-        val cell = assign.filter($"vec_id" >= 10)
-          .select($"vec_id".as("c_id"), $"centroid_id".as("cell"))
-        val pairs = queries.join(cell, $"centroid_id" === $"cell")
-        val qe = ex.select($"vec_id".as("a"), $"i", $"x")
-        val ce = ex.select($"vec_id".as("b"), $"i", $"x".as("y"))
-        val searched = sims(
-            qe.join(pairs.select($"q_id").distinct(), $"a" === $"q_id").select($"a", $"i", $"x"),
-            ce.join(pairs.select($"c_id").distinct(), $"b" === $"c_id").select($"b", $"i", $"y"))
-          .join(pairs, $"a" === $"q_id" && $"b" === $"c_id") // only same-cell pairs
+        val emb = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        // Centroids (vec_id % 50 = 0 here; a bounded k in production) are
+        // tiny — collect + broadcast as arrays, assign each vector to its
+        // nearest centroid in a narrow per-row pass: ZERO shuffle for
+        // assignment, vs. the old near-cartesian join on the 64-key
+        // dimension index (VERDICT r1 #4). Exact-decimal dot products
+        // keep the oracle hash identical.
+        val cents = emb.filter(_._1 % 50 == 0).collect().sortBy(_._1)
+          .map { case (id, v) => (id, v, DecimalDot.normSq(v)) }
+        val cB = s.sparkContext.broadcast(cents)
+        def nearest(cs: Array[(Long, Array[Float], Double)],
+                    v: Array[Float], nv: Double): Long = {
+          var bestId = Long.MaxValue
+          var bestSim = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
+            val sim = DecimalDot.cosine(DecimalDot.dot(cv, v), cn, nv)
+            // row_number ORDER BY sim DESC, b — strict improvement or tie
+            // broken by the smaller centroid id
+            if (sim > bestSim || (sim == bestSim && cid < bestId)) {
+              bestSim = sim; bestId = cid
+            }
+            i += 1
+          }
+          bestId
+        }
+        // probe set: queries (vec_id < 10) with their cell assignments,
+        // computed driver-side with the same function, then broadcast
+        val queries = emb.filter(_._1 < 10).collect().sortBy(_._1)
+          .map { case (id, v) =>
+            val nv = DecimalDot.normSq(v)
+            (id, v, nv, nearest(cents, v, nv))
+          }
+        val qB = s.sparkContext.broadcast(queries)
+        // corpus: one narrow pass — assign the row's cell, score it
+        // against the queries probing that cell, keep per-partition top-3
+        val survivors = emb.filter(_._1 >= 10).mapPartitions { it =>
+          val cs = cB.value
+          val qs = qB.value
+          val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double)])
+          def better(a: (Long, Double), b: (Long, Double)): Boolean =
+            a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+          for ((cid, v) <- it) {
+            val nv = DecimalDot.normSq(v)
+            val cell = nearest(cs, v, nv)
+            var qi = 0
+            while (qi < qs.length) {
+              val (_, qv, qn, qCell) = qs(qi)
+              if (qCell == cell) {
+                val sim = DecimalDot.cosine(DecimalDot.dot(qv, v), qn, nv)
+                val h = heaps(qi)
+                val cand = (cid, sim)
+                if (h.length < 3 || better(cand, h.last)) {
+                  val at = h.indexWhere(e => better(cand, e))
+                  if (at < 0) h.append(cand) else h.insert(at, cand)
+                  if (h.length > 3) h.remove(3)
+                }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.map { case (cid, sim) => (qs(qi)._1, qs(qi)._4, cid, sim) }
+          }
+        }.toDF("q_id", "centroid_id", "c_id", "sim")
         val wTop = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
-        searched
+        survivors
           .withColumn("rnk", row_number().over(wTop))
           .filter($"rnk" <= 3)
           .select($"q_id", $"centroid_id", $"rnk", $"c_id", round($"sim", 6).as("sim"))

@@ -53,22 +53,23 @@ object KgQueries {
       None
     ),
     Q(
-      // link-ud cascade + gazetteer entity links + union. The cascade
-      // output feeds three consumers (vocab scan, link probe, union) —
-      // persisted once instead of recomputing the narrow cascade 3×.
-      // Gazetteer routing: corpus-derived vocab has unknown cardinality,
-      // so it goes through the size-based broadcast-vs-salted cutover
-      // rather than an unconditional broadcast (unbounded at 100 TB).
+      // link-ud cascade + gazetteer entity links. Two narrow passes, no
+      // cache (VERDICT r1 #2/#3): the vocabulary comes from the PARSE-ONLY
+      // triples (the link cascade never touches conll:WORD, so the vocab
+      // is identical and the expensive cascade runs exactly once), and the
+      // broadcast regime fuses link+union into the cascade's own flatMap
+      // (EntityLinker.linkUnioned). Gazetteer routing is size-bounded —
+      // oversize vocabularies fall back to the salted shuffle join.
       "kg_pipeline_link",
       (s, dir) => {
         import s.implicits._
+        val vocab = Pipeline.triples(Pipeline.parse(docs(s, dir), DocGen.columns))
+          .filter($"pred" === "conll:WORD").select($"obj".as("word"))
+        val gaz = EntityLinker.gazetteerFromVocab(vocab)
         val t = Pipeline.triples(
           Pipeline.rewrite(Pipeline.parse(docs(s, dir), DocGen.columns),
-            Pipeline.linkCascade)).toDF
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val vocab = t.filter($"pred" === "conll:WORD").select($"obj".as("word"))
-        val gaz = EntityLinker.gazetteerFromVocab(vocab)
-        t.unionByName(EntityLinker.link(t, gaz))
+            Pipeline.linkCascade))
+        EntityLinker.linkUnioned(t, gaz)
       },
       None
     ),
