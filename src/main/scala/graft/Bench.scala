@@ -91,7 +91,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""kg_docs":$nDocs,"kg_triples":$triples,""" +
         s""""kg_sec_local$levelN":$tN,"kg_sec_local$level4N":$t4N,""" +
@@ -99,7 +99,12 @@ object Bench {
         s""""kg_triples_per_sec_local$level4N":${triples / t4N},""" +
         s""""scaling_levels":"local[$levelN] vs local[$level4N]",""" +
         s""""scaling_efficiency":$efficiency,""" +
-        s""""sf":"$sfDir"}""")
+        s""""sf":"$sfDir"}"""
+    // stdout (unwrapped via run/outputStrategy := StdoutOutput) + a file
+    // copy, so the driver can parse the line structurally either way
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/tmp/bench_final.json"), json + "\n")
     spark.stop()
   }
 }

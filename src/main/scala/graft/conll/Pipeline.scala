@@ -53,6 +53,20 @@ object Pipeline {
     docs.flatMap(d => SpanParser.parseDoc(d, cols))
   }
 
+  /** U18: UTF-8 validation (CoNLLRDFUpdater.isValidUTF8,
+    * CoNLLRDFUpdater.java:779-789 — the reference aborts on non-UTF-8
+    * input; a streaming 100 TB job filters and counts instead). Malformed
+    * input bytes surface as U+FFFD replacement characters after JVM
+    * decoding; affected documents are dropped and counted in the
+    * `rejected` accumulator (exposed as a metrics row by callers). Narrow
+    * (filter). */
+  def validateUtf8(docs: Dataset[InputDoc], rejected: LongAccumulator): Dataset[InputDoc] =
+    docs.filter { d =>
+      val ok = !d.spans.exists(s => s.text.indexOf('\uFFFD') >= 0)
+      if (!ok) rejected.add(1)
+      ok
+    }
+
   /** Ingest TTL documents (the CoNLLRDFUpdater's input mode, SURVEY §3.2):
     * (doc_id, ttl text) rows → sentence graphs, chunked at blank lines.
     * Sentence numbers are recovered from the `:s{n}_0` node when present,

@@ -82,10 +82,22 @@ object PipelineManager {
           if (stage.has("columns"))
             columns = stage.get("columns").elements().asScala.map(_.asText()).toSeq
         case "CoNLLRDFUpdater" =>
+          val SuffixRe = "\\{([0-9]+|u|\\*)\\}$".r
           updates = stage.get("updates").elements().asScala.map { u =>
-            val name = u.get("path").asText()
+            val rawPath = u.get("path").asText()
+            // reference `script.sparql{n}` / `{u}` / `{*}` iteration suffix
+            // (CoNLLRDFCommandLine.parseUpdate:266-274: no suffix → 1,
+            // "u" → "*" → run to fixpoint capped at MAXITERATE)
+            val suffixIter = SuffixRe.findFirstMatchIn(rawPath).map(_.group(1))
+            val name = SuffixRe.replaceFirstIn(rawPath, "")
               .replaceAll("^.*/", "").replaceAll("\\.sparql$", "")
-            val iter = if (u.has("iter")) u.get("iter").asText().toInt else 1
+            val iterStr =
+              if (u.has("iter")) u.get("iter").asText()
+              else suffixIter.getOrElse("1")
+            val iter = iterStr match {
+              case "u" | "*" => Rules.MAXITERATE
+              case n => n.toInt
+            }
             val script = scriptRegistry.getOrElse(name,
               throw new IllegalArgumentException(s"unknown update script: $name"))
             script -> iter
@@ -105,10 +117,14 @@ object PipelineManager {
   def run(spark: SparkSession, json: String): DataFrame = {
     import spark.implicits._
     val cfg = parseConfig(json)
-    val docs: Dataset[InputDoc] = cfg.input match {
+    val raw: Dataset[InputDoc] = cfg.input match {
       case Left(n) => DocGen.docs(spark, n)
       case Right(path) => spark.read.parquet(path).as[InputDoc]
     }
+    // U18: external input is UTF-8-validated; rejects are counted in the
+    // named accumulator (surfaces in the Spark UI / status API)
+    val docs = Pipeline.validateUtf8(raw,
+      spark.sparkContext.longAccumulator("utf8_rejected"))
     val triples = Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates)
     cfg.format match {
       case "conll" => Serializers.toConllTsv(triples.toDF,

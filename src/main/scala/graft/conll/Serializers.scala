@@ -97,10 +97,31 @@ object Serializers {
     (prefixBlock(base) +: sentences.sortBy(_.sent).map(s => toCanonicalTtl(s, cols)))
       .mkString("\n\n") + "\n"
 
+  /** `-conll` column auto-discovery (CoNLLRDFFormatter.java:637-658):
+    * scan rdfs:comment literals (comment lines are '\n'-joined per
+    * sentence) for a CoNLL-U Plus `global.columns = ...` line. Bounded
+    * driver-side probe — one tiny job over the pushed-down comment
+    * predicate, not a collect of the data. */
+  def discoverColumns(triples: DataFrame, sample: Int = 1000): Seq[String] = {
+    val GC = "^\\s?global\\.columns\\s?=(.*)$".r
+    triples.filter(col("pred") === "rdfs:comment")
+      .select(col("obj")).limit(sample).collect()
+      .iterator.flatMap(_.getString(0).split("\n"))
+      .collectFirst { case GC(rest) => rest.trim.split(" |\t").toSeq }
+      .getOrElse(Seq.empty)
+  }
+
   /** K2: CoNLL TSV reconstruction as a DataFrame with one column per
     * declared label plus (doc_id, sent, tok). Single shuffle:
-    * groupBy(doc,sent,subj) + pivot on predicate. */
-  def toConllTsv(triples: DataFrame, cols: Seq[String]): DataFrame = {
+    * groupBy(doc,sent,subj) + pivot on predicate.
+    *
+    * Column resolution follows the reference's chain (explicit list >
+    * `rdfs:comment global.columns` discovery): pass `cols = Seq.empty`
+    * to auto-discover. */
+  def toConllTsv(triples: DataFrame, cols0: Seq[String]): DataFrame = {
+    val cols = if (cols0.nonEmpty) cols0 else discoverColumns(triples)
+    require(cols.nonEmpty,
+      "no columns: pass an explicit list or ingest a corpus with a global.columns comment")
     val colPreds = cols.map(c => s"conll:$c")
     val prepared = triples
       .filter(col("pred").isin(colPreds: _*))
@@ -129,7 +150,8 @@ object Serializers {
     * CoNLLRDFFormatter.java:637-658), TAB-joined rows in token order,
     * blank line between sentences. Two aggregations (sent, then doc),
     * both with ordered collect — no driver-side loops. */
-  def toConllText(triples: DataFrame, cols: Seq[String]): DataFrame = {
+  def toConllText(triples: DataFrame, cols0: Seq[String]): DataFrame = {
+    val cols = if (cols0.nonEmpty) cols0 else discoverColumns(triples)
     val wide = toConllTsv(triples, cols)
     val line = concat_ws("\t", cols.map(col): _*)
     val perSent = wide

@@ -169,6 +169,12 @@ object SpanParser {
           if (m.matches()) {
             columns = m.group(1).trim.split("\\s+").toVector
             meta = new SchemaMeta(columns)
+            // the reference PEEKS for global.columns and resets the stream
+            // (CoNLLStreamExtractor.findFieldsFromComments), so the line
+            // also flows through as an ordinary comment → rdfs:comment;
+            // the formatter later re-discovers columns from it
+            // (CoNLLRDFFormatter.findColumnNamesInRDFBuffer)
+            comments += span.text.trim.replaceFirst("^#\\s?", "")
           } else {
             comments += span.text.trim.replaceFirst("^#\\s?", "")
           }

@@ -38,6 +38,29 @@ class PipelineManagerSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("iter 'u' and the {u}/{n} path suffixes map to the fixpoint cap (U1)") {
+    // "iter": "u" — the reference's run-to-fixpoint marker
+    val cfgU = PipelineManager.parseConfig(
+      """{"input":{"docs":1},"pipeline":[
+        {"class":"CoNLLRDFUpdater","updates":[
+          {"path":"sparql/parse/REDUCE-english-1.sparql","iter":"u"}]}]}""")
+    assert(cfgU.updates.head._2 == Rules.MAXITERATE)
+    // literal {u} suffix on the path, as the reference CLI writes it
+    // (CoNLLRDFCommandLine.parseUpdate:266-274)
+    val cfgSuffix = PipelineManager.parseConfig(
+      """{"input":{"docs":1},"pipeline":[
+        {"class":"CoNLLRDFUpdater","updates":[
+          {"path":"sparql/parse/REDUCE-english-1.sparql{u}"}]}]}""")
+    assert(cfgSuffix.updates.head._1.name == "REDUCE-english-1")
+    assert(cfgSuffix.updates.head._2 == Rules.MAXITERATE)
+    // {n} suffix carries the count when no explicit iter is given
+    val cfgN = PipelineManager.parseConfig(
+      """{"input":{"docs":1},"pipeline":[
+        {"class":"CoNLLRDFUpdater","updates":[
+          {"path":"sparql/parse/REDUCE-english-1.sparql{3}"}]}]}""")
+    assert(cfgN.updates.head._2 == 3)
+  }
+
   test("iteration suffix {n} is honored; unknown scripts fail fast (U1)") {
     val cfg = PipelineManager.parseConfig(
       """{"input":{"docs":1},"pipeline":[

@@ -81,4 +81,42 @@ class SerializersSpec extends AnyFunSuite {
     assert(out.getAs[String]("UPOS") == "NOUN|PROPN")
     assert(out.getAs[String]("EDGE") == "_")
   }
+
+  test("-conll column auto-discovery from the global.columns comment (K3 chain)") {
+    import spark.implicits._
+    // a CoNLL-U Plus doc: the schema travels in the comment, not the call
+    val doc = InputDoc("d9", Seq(
+      Span("comment", "# global.columns = WORD POS", "", 0),
+      Span("token", "fox\tNN", "", 1),
+      Span("token", "runs\tVBZ", "", 2),
+      Span("sentence_break", "", "", 3)
+    ))
+    // declared columns deliberately wrong — the comment overrides (S5)
+    val sents = SpanParser.parseDoc(doc, Seq("ID", "WORD"))
+    val t = spark.createDataset(sents.flatMap(s =>
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+    assert(Serializers.discoverColumns(t) == Seq("WORD", "POS"))
+    // CLI list > comment; empty list → comment discovery — both exports match
+    val explicit = Serializers.toConllTsv(t, Seq("WORD", "POS")).collect().toSeq
+    val discovered = Serializers.toConllTsv(t, Seq.empty).collect().toSeq
+    assert(discovered == explicit)
+    val text = Serializers.toConllText(t, Seq.empty).collect().head.getAs[String]("text")
+    assert(text.startsWith("# global.columns = WORD POS\n"))
+    assert(text.contains("fox\tNN"))
+  }
+
+  test("U18: UTF-8 validation drops replacement-char docs and counts them") {
+    import spark.implicits._
+    // malformed bytes decoded as UTF-8 surface as U+FFFD
+    val bad = new String(Array[Byte](0x66, 0x6f, 0xC3.toByte), "UTF-8") // 'fo' + truncated seq
+    assert(bad.contains('\uFFFD'))
+    val docs = Seq(
+      InputDoc("ok", Seq(Span("token", "1\tx\tNOUN\t0\troot", "", 0))),
+      InputDoc("bad", Seq(Span("token", s"1\t$bad\tNOUN\t0\troot", "", 0)))
+    ).toDS
+    val rejected = spark.sparkContext.longAccumulator("utf8_rejected_test")
+    val kept = Pipeline.validateUtf8(docs, rejected).collect()
+    assert(kept.map(_.doc_id).toSeq == Seq("ok"))
+    assert(rejected.value == 1L)
+  }
 }

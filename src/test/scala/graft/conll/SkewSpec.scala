@@ -45,4 +45,23 @@ class SkewSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("linkUnioned: fused broadcast pass ≡ union(t, broadcastJoin(t)); salted fallback kicks in") {
+    import spark.implicits._
+    val words = (1 to 200).map(i => s"word${i % 11}")
+    val triples = words.zipWithIndex.flatMap { case (w, i) =>
+      Seq(
+        TripleRow("d1", 1L, s":s1_${i + 1}", "conll:WORD", w, false),
+        TripleRow("d1", 1L, s":s1_${i + 1}", "rdf:type", "nif:Word", true))
+    }.toDS
+    val gaz = EntityLinker.gazetteerFromVocab(words.distinct.toDF("word"))
+    val fused = EntityLinker.linkUnioned(triples, gaz)
+    val reference = triples.toDF.unionByName(
+      EntityLinker.linkBroadcast(triples.toDF, gaz))
+    assert(fused.exceptAll(reference).isEmpty && reference.exceptAll(fused).isEmpty)
+    // broadcastMax below the gazetteer size → the salted-union regime,
+    // same result set
+    val salted = EntityLinker.linkUnioned(triples, gaz, broadcastMax = 3)
+    assert(salted.exceptAll(reference).isEmpty && reference.exceptAll(salted).isEmpty)
+  }
 }
