@@ -174,25 +174,51 @@ object Serializers {
   /** K3: the analyze-ud evaluation SELECT
     * (examples/sparql/analyze/eval-POSsynt.sparql) as a declarative
     * DataFrame query: per word, its surface/UPOS/EDGE/match plus the
-    * sorted-distinct group_concat of the two POSsynt columns. */
+    * sorted-distinct group_concat of the two POSsynt columns.
+    *
+    * ONE conditional aggregation over (doc, sent, subj) instead of six
+    * self-joins — six joins meant six recomputations of the upstream
+    * cascade plus six shuffles. WORD/UPOS/EDGE/match are single-valued
+    * per token in the analyze pipeline (the reference's own SELECT binds
+    * them as plain variables under `group by ?word`, which presumes the
+    * same), so `max(when(...))` is exact; the mandatory-binding
+    * (inner-join) semantics survive as a null filter.
+    *
+    * The group_concat sets are aggregated as a BITMASK (`bit_or` over the
+    * closed 8-value POSsynt vocabulary that analyze/{UPOS,EDGE}-to-POSsynt
+    * .sparql can emit) and decoded after the shuffle: `collect_set` is an
+    * object-typed aggregate, which forces ObjectHashAggregateExec and its
+    * sort-based fallback after 128 groups per partition — measured 3–6×
+    * slower with heavy GC variance at sf0.1. The bitmask keeps the whole
+    * aggregation in codegen'd HashAggregateExec (longs only). */
   def evalPossyntSelect(triples: DataFrame): DataFrame = {
-    def vals(pred: String, as: String): DataFrame =
-      triples.filter(col("pred") === pred)
-        .select(col("doc_id"), col("sent"), col("subj"), col("obj").as(as))
-    def concatVals(pred: String, as: String): DataFrame =
-      triples.filter(col("pred") === pred)
-        .groupBy(col("doc_id"), col("sent"), col("subj"))
-        .agg(array_join(array_sort(collect_set(col("obj"))), " ").as(as))
-    vals("conll:WORD", "word")
-      .join(vals("conll:UPOS", "upos"), Seq("doc_id", "sent", "subj"))
-      .join(vals("conll:EDGE", "udep"), Seq("doc_id", "sent", "subj"))
-      .join(vals("conll:POSsynt_match", "match"), Seq("doc_id", "sent", "subj"))
-      .join(concatVals("conll:POSsynt_UPOS", "POSsynt_UPOS"), Seq("doc_id", "sent", "subj"), "left_outer")
-      .join(concatVals("conll:POSsynt_UD", "POSsynt_UDEP"), Seq("doc_id", "sent", "subj"), "left_outer")
+    // alphabetical, so the decoded concat equals the sorted group_concat
+    val psDomain = Seq("AN", "AV", "N", "RM", "RN", "RV", "V", "X")
+    def one(pred: String) = max(when(col("pred") === pred, col("obj")))
+    def bits(pred: String) = bit_or(
+      when(col("pred") === pred,
+        psDomain.zipWithIndex.foldLeft(lit(0L)) { case (acc, (v, i)) =>
+          when(col("obj") === v, lit(1L << i)).otherwise(acc)
+        }).otherwise(lit(0L)))
+    def decode(mask: org.apache.spark.sql.Column) = concat_ws(" ",
+      psDomain.zipWithIndex.map { case (v, i) =>
+        when(mask.bitwiseAND(lit(1L << i)) =!= 0L, v) // concat_ws skips nulls
+      }: _*)
+    triples
+      .groupBy(col("doc_id"), col("sent"), col("subj"))
+      .agg(
+        one("conll:WORD").as("word"),
+        one("conll:UPOS").as("upos"),
+        one("conll:EDGE").as("udep"),
+        one("conll:POSsynt_match").as("match"),
+        bits("conll:POSsynt_UPOS").as("upos_mask"),
+        bits("conll:POSsynt_UD").as("ud_mask"))
+      .filter(col("word").isNotNull && col("upos").isNotNull &&
+        col("udep").isNotNull && col("match").isNotNull)
       // SPARQL group_concat over an unbound OPTIONAL yields "" (not NULL)
-      .na.fill("", Seq("POSsynt_UPOS", "POSsynt_UDEP"))
       .select(col("doc_id"), col("sent"), col("subj"), col("word"), col("upos"),
-        col("udep"), col("POSsynt_UPOS"), col("POSsynt_UDEP"), col("match"))
+        col("udep"), decode(col("upos_mask")).as("POSsynt_UPOS"),
+        decode(col("ud_mask")).as("POSsynt_UDEP"), col("match"))
   }
 
   /** K3 generic SELECT surface: examples/sparql/select-conllu.sparql —
