@@ -259,6 +259,98 @@ object DedupQueries {
         n_chars FROM documents ORDER BY doc_id""")
     ),
     Q(
+      // Embedding-cosine near-dup detection — the last dedup modality:
+      // LSH-bucketed candidate generation (12 md5-seeded ±1 hyperplanes,
+      // exact-decimal signs → engine-independent buckets) + exact cosine
+      // verification ≥ 0.95. The corpus has no natural near-dups (max
+      // pairwise cosine 0.51), so every 20th vector gets a deterministic
+      // perturbed clone (dimension 1 zeroed, id + 1e6) derived from the
+      // same table on BOTH engines; the op then has real positives to
+      // find. Plan shape: narrow augment + per-row bucketing (zero
+      // shuffle), bucket self-join (the q22 band-join shape), per-pair
+      // decimal cosine. Recall < 100% by design — that's LSH.
+      "q32_embed_neardup",
+      (s, dir) => {
+        import s.implicits._
+        val planes: Array[Array[Double]] = Array.tabulate(12, 64) { (p, i) =>
+          if ("01234567".indexOf(
+            graft.functions.Hashing.md5hex(s"${p}_${i + 1}").charAt(0)) >= 0) 1.0 else -1.0
+        }
+        val pB = s.sparkContext.broadcast(planes)
+        val base = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        val aug = base.flatMap { case (id, v) =>
+          if (id % 20 == 0) {
+            val c = v.clone(); c(0) = 0.0f
+            Seq((id, v), (id + 1000000L, c))
+          } else Seq((id, v))
+        }
+        val bucketed = aug.map { case (id, v) =>
+          val ps = pB.value
+          var bits = 0
+          var p = 0
+          while (p < ps.length) {
+            var acc = java.math.BigDecimal.ZERO
+            var i = 0
+            while (i < v.length) {
+              acc = acc.add(DecimalDot.d18(v(i).toDouble * ps(p)(i)))
+              i += 1
+            }
+            if (acc.signum > 0) bits |= (1 << p)
+            p += 1
+          }
+          (id, bits, v)
+        }.toDF("vec_id", "bucket", "emb")
+        val l = bucketed.select($"vec_id".as("a"), $"bucket", $"emb".as("ea"))
+        val r = bucketed.select($"vec_id".as("b"), $"bucket", $"emb".as("eb"))
+        l.join(r, Seq("bucket")).filter($"a" < $"b")
+          .select($"a", $"ea", $"b", $"eb")
+          .as[(Long, Array[Float], Long, Array[Float])]
+          .map { case (a, ea, b, eb) =>
+            (a, b, DecimalDot.cosine(
+              DecimalDot.dot(ea, eb), DecimalDot.normSq(ea), DecimalDot.normSq(eb)))
+          }.toDF("a", "b", "sim")
+          .filter($"sim" > 0.95)
+          .select($"a", $"b", round($"sim", 6).as("sim"))
+          .orderBy($"a", $"b")
+      },
+      Some({
+        val hv = "('0','1','2','3','4','5','6','7')"
+        val sums = (0 until 12).map(p =>
+          s"SUM(CAST(x * (CASE WHEN substring(md5('${p}_' || CAST(i AS VARCHAR)),1,1) IN $hv THEN 1.0 ELSE -1.0 END) AS DECIMAL(38,18))) AS p$p")
+          .mkString(", ")
+        val bits = (0 until 12).map(p =>
+          s"CASE WHEN p$p > 0 THEN ${1 << p} ELSE 0 END").mkString(" + ")
+        s"""WITH ex0 AS MATERIALIZED (
+          SELECT vec_id, CAST(i AS INT) AS i, CAST(x AS DOUBLE) AS x FROM (
+            SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding)+1)) AS i FROM embeddings) t),
+        aug AS MATERIALIZED (
+          SELECT vec_id, i, x FROM ex0
+          UNION ALL
+          SELECT vec_id + 1000000, i, CASE WHEN i = 1 THEN 0.0 ELSE x END
+          FROM ex0 WHERE vec_id % 20 = 0),
+        agg AS (SELECT vec_id, $sums FROM aug GROUP BY vec_id),
+        bkt AS MATERIALIZED (SELECT vec_id, $bits AS bucket FROM agg),
+        nrm AS MATERIALIZED (
+          SELECT vec_id, SUM(CAST(x*x AS DECIMAL(38,18))) AS nsq FROM aug GROUP BY vec_id),
+        pairs AS (
+          SELECT l.vec_id AS a, r.vec_id AS b FROM bkt l
+          JOIN bkt r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+        sims AS (
+          SELECT p.a, p.b,
+            CAST(SUM(CAST(x1.x*x2.x AS DECIMAL(38,18))) AS DOUBLE)
+              / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS sim
+          FROM pairs p
+          JOIN aug x1 ON x1.vec_id = p.a
+          JOIN aug x2 ON x2.vec_id = p.b AND x2.i = x1.i
+          JOIN nrm na ON na.vec_id = p.a
+          JOIN nrm nb ON nb.vec_id = p.b
+          GROUP BY p.a, p.b, na.nsq, nb.nsq)
+        SELECT a, b, ROUND(sim, 6) AS sim FROM sims WHERE sim > 0.95 ORDER BY a, b"""
+      })
+    ),
+    Q(
       // Document fingerprint: md5 over whitespace-normalized lowercase text.
       "q27_fingerprint",
       (s, dir) => {
