@@ -213,22 +213,50 @@ object KgOracle {
           WHERE v.doc_id = t.doc_id AND v.tok = t.tok) THEN '1' ELSE '0' END AS v
       FROM tok2 t)"""
 
-  /** Full triple table of the analyze-cascade output. */
-  val analyzeSql: String =
-    s"""$detCte $cascadeCte
-    SELECT doc_id, CAST(1 AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
-      SELECT DISTINCT doc_id, ':s1_0' AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
+  /** The parse-only triple branches over tok2 (shared by the analyze and
+    * link oracles). */
+  private val baseBranchesSql: String =
+    """SELECT DISTINCT doc_id, ':s1_0' AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'rdf:type', 'nif:Word', TRUE FROM tok2
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'nif:nextWord', ':s1_' || CAST(tok + 1 AS VARCHAR), TRUE FROM tok2 WHERE tok < ntok
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:ID', CAST(tok AS VARCHAR), FALSE FROM tok2
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:WORD', word, FALSE FROM tok2
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:UPOS', upos, FALSE FROM tok2
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:HEAD', ':s1_' || CAST(head AS VARCHAR), TRUE FROM tok2
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:EDGE', edge, FALSE FROM tok2
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:EDGE', edge, FALSE FROM tok2"""
+
+  /** Full triple table of the analyze-cascade output. */
+  val analyzeSql: String =
+    s"""$detCte $cascadeCte
+    SELECT doc_id, CAST(1 AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      $baseBranchesSql
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_UPOS', v, FALSE FROM ups1
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_UD', v, FALSE FROM ud1
       UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_match', v, FALSE FROM mt
-    ) u ORDER BY doc_id, subj, pred, obj""".stripMargin
+    ) u ORDER BY doc_id, subj, pred, obj"""
+
+  /** link-ud cascade + fused entity links over the det pipeline. The
+    * UPOS→OLiA concept sets are the SAME driver-side ontology closures the
+    * engine broadcasts (Ontology.tagToConcepts ∘ superClosure), embedded
+    * as a VALUES table; entity ids are the md5 gazetteer scheme. */
+  val linkSql: String = {
+    val t2c = graft.conll.Ontology.tagToConcepts(
+      graft.conll.Ontology.miniOlia, graft.conll.Ontology.GRAPH_UD, graft.conll.Ontology.keepOlia)
+    val sup = graft.conll.Ontology.superClosure(
+      graft.conll.Ontology.miniOlia, graft.conll.Ontology.GRAPH_UD, graft.conll.Ontology.keepOlia)
+    val rows = for {
+      (tag, cs) <- t2c.toSeq
+      c <- (cs ++ cs.flatMap(x => sup.getOrElse(x, Seq.empty))).distinct
+    } yield s"('$tag', '$c')"
+    s"""$detCte, ud_concepts(upos, concept) AS (VALUES ${rows.sorted.mkString(", ")})
+    SELECT doc_id, CAST(1 AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      $baseBranchesSql
+      UNION ALL SELECT t.doc_id, ':s1_' || CAST(t.tok AS VARCHAR), 'rdf:type', c.concept, TRUE
+        FROM tok2 t JOIN ud_concepts c ON c.upos = t.upos
+      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:ENTITY',
+        'ent:' || substring(md5(lower(word)), 1, 12), TRUE FROM tok2
+    ) u ORDER BY doc_id, subj, pred, obj"""
+  }
 
   /** K2 TSV export (toConllTsv) over the parse-only det pipeline. */
   val conllExportSql: String =

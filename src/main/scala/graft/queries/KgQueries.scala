@@ -63,15 +63,15 @@ object KgQueries {
       "kg_pipeline_link",
       (s, dir) => {
         import s.implicits._
-        val vocab = Pipeline.triples(Pipeline.parse(docs(s, dir), DocGen.columns))
+        val vocab = Pipeline.triples(detParsed(s, dir))
           .filter($"pred" === "conll:WORD").select($"obj".as("word"))
         val gaz = EntityLinker.gazetteerFromVocab(vocab)
         val t = Pipeline.triples(
-          Pipeline.rewrite(Pipeline.parse(docs(s, dir), DocGen.columns),
-            Pipeline.linkCascade))
+          Pipeline.rewrite(detParsed(s, dir), Pipeline.linkCascade))
         EntityLinker.linkUnioned(t, gaz)
+          .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },
-      None
+      Some(KgOracle.linkSql)
     ),
     Q(
       // K2 sink: CoNLL TSV reconstruction from triples (pivot path),
@@ -124,18 +124,22 @@ object KgQueries {
     ),
     Q(
       // S3 ingest: canonical TTL documents re-ingested and rewritten —
-      // the CoNLLRDFUpdater input mode (equivalence with the direct path
-      // is asserted in TtlRoundtripSpec)
+      // the CoNLLRDFUpdater input mode. Runs the det pipeline through the
+      // TTL writer + TTL parser + analyze cascade: the output must equal
+      // kg_pipeline_analyze's (same oracle), so the driver hash-checks the
+      // whole serialize→reingest roundtrip. DocGen multi-sentence fidelity
+      // stays in TtlRoundtripSpec.
       "kg_ttl_ingest",
       (s, dir) => {
         import s.implicits._
-        val parsed = Pipeline.parse(docs(s, dir), DocGen.columns)
+        val parsed = detParsed(s, dir)
         val ttlDocs = parsed.groupByKey(_.docId).mapGroups { (id, sents) =>
-          (id, Serializers.toCanonicalTtlDocument(sents.toSeq, DocGen.columns, s"urn:graft:$id#"))
+          (id, Serializers.toCanonicalTtlDocument(sents.toSeq, KgOracle.detCols, s"urn:graft:$id#"))
         }
-        Pipeline.rewriteTriples(Pipeline.parseTtl(ttlDocs), Pipeline.analyzeCascade).toDF
+        Pipeline.rewriteTriples(Pipeline.parseTtl(ttlDocs), Pipeline.analyzeCascade)
+          .toDF.orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },
-      None
+      Some(KgOracle.analyzeSql)
     ),
     Q(
       // K2 text sink: per-document CoNLL text with global.columns header,
