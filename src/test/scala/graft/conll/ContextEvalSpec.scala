@@ -63,4 +63,26 @@ class ContextEvalSpec extends AnyFunSuite {
     }
     eval.unpersist()
   }
+
+  test("eval-POSsynt bitmask aggregation ≡ naive collect_set reference") {
+    // guards the closed-domain assumption behind the bit_or encoding: the
+    // decoded masks must equal the sorted group_concat of collect_set
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = DocGen.docs(spark, 30)
+    val t = Pipeline.triples(
+      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).toDF
+    def naiveCat(pred: String, as: String) =
+      t.filter(col("pred") === pred)
+        .groupBy(col("doc_id"), col("sent"), col("subj"))
+        .agg(array_join(array_sort(collect_set(col("obj"))), " ").as(as))
+    val fast = Serializers.evalPossyntSelect(t)
+      .select($"doc_id", $"sent", $"subj", $"POSsynt_UPOS", $"POSsynt_UDEP")
+    val naive = fast.select($"doc_id", $"sent", $"subj")
+      .join(naiveCat("conll:POSsynt_UPOS", "nu"), Seq("doc_id", "sent", "subj"), "left_outer")
+      .join(naiveCat("conll:POSsynt_UD", "nd"), Seq("doc_id", "sent", "subj"), "left_outer")
+      .na.fill("", Seq("nu", "nd"))
+      .select($"doc_id", $"sent", $"subj", $"nu".as("POSsynt_UPOS"), $"nd".as("POSsynt_UDEP"))
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty)
+  }
 }
