@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.Row
-import graft.conll.{DocGen, InputDoc, Pipeline}
+import graft.conll.{DocGen, InputDoc, Pipeline, Span}
 import graft.conll.Rules.Script
 
 /** Structured Streaming surface — beyond the reference (SURVEY §2.8: the
@@ -46,6 +46,54 @@ object StreamingPipeline {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+
+  /** One span fragment of a document, as an incremental ingest delivers
+    * them (kind == "doc_end" closes the document). */
+  final case class SpanFrag(
+      doc_id: String, kind: String, text: String, media_ref: String, offset: Int)
+
+  /** Stateful cross-batch document assembly: span fragments of one
+    * document may arrive across micro-batches; per-doc state buffers them
+    * until the `doc_end` marker (emit + clear) or a processing-time
+    * timeout (emit what arrived — a truncated doc beats a leaked state
+    * entry at 10^12-doc scale). This is the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` regime: keyed state,
+    * append output, timeout-driven eviction; downstream parse/rewrite
+    * stay the same narrow transforms as in batch. */
+  def assembleDocs(
+      frags: Dataset[SpanFrag],
+      timeoutMs: Long = 60000L): Dataset[InputDoc] = {
+    import frags.sparkSession.implicits._
+    // timeoutMs <= 0 → NoTimeout: a registered processing-time timeout
+    // keeps the engine scheduling empty micro-batches to re-evaluate it,
+    // which is the right behavior in production (eviction must fire
+    // without new data) but a busy loop in a drain-synchronously test
+    val conf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    frags.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[Seq[Span], InputDoc](OutputMode.Append(), conf) {
+        case (docId, it, state) =>
+          if (state.hasTimedOut) {
+            val spans = state.getOption.getOrElse(Seq.empty)
+            state.remove()
+            if (spans.nonEmpty) Iterator(InputDoc(docId, spans.sortBy(_.offset)))
+            else Iterator.empty
+          } else {
+            val all = state.getOption.getOrElse(Seq.empty) ++
+              it.map(f => Span(f.kind, f.text, f.media_ref, f.offset))
+            val (ends, rest) = all.partition(_.kind == "doc_end")
+            if (ends.nonEmpty) {
+              state.remove()
+              Iterator(InputDoc(docId, rest.sortBy(_.offset)))
+            } else {
+              state.update(all)
+              if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+              Iterator.empty
+            }
+          }
+      }
+  }
 
   /** Convenience: drive a streaming query synchronously over whatever is
     * in the input dir (test/bench harness). */

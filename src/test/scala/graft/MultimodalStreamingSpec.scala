@@ -54,6 +54,39 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     assert(got == batch) // stream == batch on the same input
   }
 
+  test("streaming: stateful cross-batch document assembly (flatMapGroupsWithState)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val doc = DocGen.genDoc(42L, 7L)
+    val frags = doc.spans.map(s =>
+      StreamingPipeline.SpanFrag(doc.doc_id, s.kind, s.text, s.media_ref, s.offset))
+    val (half1, half2) = frags.splitAt(frags.length / 2)
+    val endMark = StreamingPipeline.SpanFrag(
+      doc.doc_id, "doc_end", "", "", frags.map(_.offset).max + 1)
+
+    val input = MemoryStream[StreamingPipeline.SpanFrag]
+    // timeoutMs = 0 → NoTimeout: drain-synchronous test (see assembleDocs)
+    val assembled = StreamingPipeline.assembleDocs(input.toDS(), timeoutMs = 0L)
+    val q = assembled.writeStream.format("memory")
+      .queryName("assembled_docs").outputMode("append").start()
+    try {
+      input.addData(half1)
+      q.processAllAvailable()
+      // incomplete doc: state buffered, nothing emitted yet
+      assert(spark.table("assembled_docs").count() == 0)
+      input.addData(half2 :+ endMark)
+      q.processAllAvailable()
+      val got = spark.table("assembled_docs").as[graft.conll.InputDoc].collect()
+      assert(got.length == 1)
+      // span-sequence invariant holds across the batch boundary
+      assert(got.head == doc)
+      // and the assembled doc parses identically to the batch path
+      assert(graft.conll.SpanParser.parseDoc(got.head, DocGen.columns) ==
+        graft.conll.SpanParser.parseDoc(doc, DocGen.columns))
+    } finally q.stop()
+  }
+
   test("streaming: watermarked windowed event counts") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
