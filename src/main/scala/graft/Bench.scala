@@ -29,6 +29,11 @@ object Bench {
       .appName(s"graft-bench-$threads")
       .config("spark.sql.shuffle.partitions", threads)
       .config("spark.sql.adaptive.enabled", "true")
+      // collect_list/collect_set aggs: keep ObjectHashAggregate hashing
+      // instead of its 128-group sort-based fallback (measured ~5-10% on
+      // the pivot-based exports; the big object-agg hotspot was removed
+      // outright in evalPossyntSelect)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // collect_list/collect_set aggs: keep ObjectHashAggregate hashing
+      // instead of its 128-group sort-based fallback (measured ~5-10% on
+      // the pivot-based exports; the big object-agg hotspot was removed
+      // outright in evalPossyntSelect)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
