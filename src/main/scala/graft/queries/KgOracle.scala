@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.conll.{InputDoc, Span}
 
@@ -10,16 +10,22 @@ import graft.conll.{InputDoc, Span}
   * a full DuckDB-SQL mirror of the analyze cascade so the driver's
   * rows+schema+hash gate covers the engine's core (VERDICT r1 item 1).
   *
+  * Documents are chunked into SENTENCES of 15 tokens (sentence_break
+  * spans), so the gate also covers the S1 chunker, per-sentence URI
+  * minting, the nif:nextSentence chain, and multi-block sinks — not just
+  * single-sentence graphs.
+  *
   * Determinism: every derived attribute is a pure function of md5(word) —
   * computable bit-identically in DuckDB:
   *   - UPOS: first md5 hex digit (same mapping as q17);
-  *   - HEAD: tok 1 → 0 (root), else tok/2 — the q30 deterministic tree;
-  *   - EDGE: 'root' for tok 1, else the 2nd md5 hex digit mapped onto 16
-  *     UD labels chosen to exercise every EDGE-to-POSsynt statement
-  *     (incl. neg → the two guarded stages, conj → both propagation hops,
-  *     and ccomp which ALSO matches the unanchored-suffix '^(cc)' rule —
-  *     the cascade semantics are whatever the reference's regexes say,
-  *     reproduced verbatim on both sides).
+  *   - HEAD: token 1 of each sentence → 0 (root), else tid/2 — the q30
+  *     deterministic tree, per sentence;
+  *   - EDGE: 'root' for the sentence head, else the 2nd md5 hex digit
+  *     mapped onto 16 UD labels chosen to exercise every EDGE-to-POSsynt
+  *     statement (incl. neg → the two guarded stages, conj → both
+  *     propagation hops, and ccomp which ALSO matches the
+  *     unanchored-suffix '^(cc)' rule — the cascade semantics are whatever
+  *     the reference's regexes say, reproduced verbatim on both sides).
   *
   * The `documents` corpus is single-space-separated [a-z0-9]+ words
   * (verified at sf0.01/sf0.1), so no cell ever hits the parser's
@@ -29,6 +35,9 @@ import graft.conll.{InputDoc, Span}
 object KgOracle {
 
   val detCols: Seq[String] = Seq("ID", "WORD", "UPOS", "HEAD", "EDGE")
+
+  /** Tokens per deterministic sentence. */
+  val SENT_LEN = 15
 
   def md5hex(v: String): String = graft.functions.Hashing.md5hex(v)
 
@@ -57,7 +66,7 @@ object KgOracle {
     edgeLabels(if (i < 0) 15 else i)
   }
 
-  /** documents.parquet → deterministic single-sentence CoNLL-U span docs.
+  /** documents.parquet → deterministic multi-sentence CoNLL-U span docs.
     * Narrow (one typed map over the scan); the doc_id is stringified to the
     * span-table contract. */
   def detDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
@@ -66,15 +75,21 @@ object KgOracle {
       .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
       .map { case (docId, text) =>
         val words = text.split("\\s+")
-        val spans = words.iterator.zipWithIndex.map { case (w, idx) =>
-          val tok = idx + 1
+        val spans = scala.collection.mutable.ArrayBuffer[Span]()
+        var off = 0
+        words.iterator.zipWithIndex.foreach { case (w, idx) =>
+          val tid = idx % SENT_LEN + 1
+          if (idx > 0 && tid == 1) {
+            spans += Span("sentence_break", "", "", off); off += 1
+          }
           val h = md5hex(w)
           val upos = uposFromHex(h.charAt(0))
-          val head = if (tok == 1) 0 else tok / 2
-          val edge = if (tok == 1) "root" else edgeFromHex(h.charAt(1))
-          Span("token", s"$tok\t$w\t$upos\t$head\t$edge", "", idx)
-        }.toSeq
-        InputDoc(docId, spans)
+          val head = if (tid == 1) 0 else tid / 2
+          val edge = if (tid == 1) "root" else edgeFromHex(h.charAt(1))
+          spans += Span("token", s"$tid\t$w\t$upos\t$head\t$edge", "", off)
+          off += 1
+        }
+        InputDoc(docId, spans.toSeq)
       }
   }
 
@@ -82,27 +97,33 @@ object KgOracle {
   // DuckDB mirror
   // ------------------------------------------------------------------
 
-  private val edgeCaseSql: String = {
+  private val edge16Sql: String = {
     val whens = "0123456789abcde".zip(edgeLabels).map { case (c, l) =>
       s"WHEN '$c' THEN '$l'"
     }.mkString(" ")
-    s"CASE WHEN tok = 1 THEN 'root' ELSE CASE substring(md5(word),2,1) $whens ELSE 'conj' END END"
+    s"CASE substring(md5(word),2,1) $whens ELSE 'conj' END"
   }
 
-  /** tk (doc_id VARCHAR, tok, word, ntok) + tok2 (+ upos, head, edge). */
+  /** `:s{sent}_{tid}` subject. */
+  private val subjSql = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+  private val sentNodeSql = "':s' || CAST(sent AS VARCHAR) || '_0'"
+
+  /** tk (doc_id VARCHAR, tok, word) + tok2 (sentence-chunked:
+    * sent, tid, ntok = tokens in the sentence, upos, head, edge). */
   val detCte: String =
     s"""WITH tk AS MATERIALIZED (
-      SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i AS BIGINT) AS tok,
-             w AS word, CAST(mx AS BIGINT) AS ntok FROM (
-        SELECT doc_id, unnest(words) AS w, unnest(range(1, len(words)+1)) AS i,
-               len(words) AS mx
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(i AS BIGINT) AS tok, w AS word FROM (
+        SELECT doc_id, unnest(words) AS w, unnest(range(1, len(words)+1)) AS i
         FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents) t0) t1
     ), tok2 AS MATERIALIZED (
-      SELECT doc_id, tok, word, ntok,
-        ${TextQueries.uposSql} AS upos,
-        CASE WHEN tok = 1 THEN 0 ELSE tok // 2 END AS head,
-        $edgeCaseSql AS edge
-      FROM tk
+      SELECT doc_id, sent, tid, word, upos, head, edge,
+             MAX(tid) OVER (PARTITION BY doc_id, sent) AS ntok
+      FROM (
+        SELECT doc_id, (tok-1) // $SENT_LEN + 1 AS sent, (tok-1) % $SENT_LEN + 1 AS tid, word,
+          ${TextQueries.uposSql} AS upos,
+          CASE WHEN (tok-1) % $SENT_LEN = 0 THEN 0 ELSE ((tok-1) % $SENT_LEN + 1) // 2 END AS head,
+          CASE WHEN (tok-1) % $SENT_LEN = 0 THEN 'root' ELSE $edge16Sql END AS edge
+        FROM tk) t
     )"""
 
   /** The analyze cascade as a CTE chain, statement by statement, with the
@@ -110,79 +131,81 @@ object KgOracle {
     * evaluates its WHERE against the state left by the previous one; the
     * regex strings are the reference's, verbatim — AnalyzeScripts.scala,
     * examples/sparql/analyze/{UPOS,EDGE}-to-POSsynt.sparql,
-    * consolidate-POSsynt.sparql). `ud1` = POSsynt_UD after pruning,
-    * `ups1` = POSsynt_UPOS after pruning, `mt` = POSsynt_match. */
+    * consolidate-POSsynt.sparql). All state tables are keyed
+    * (doc_id, sent, tok) with tok = the in-sentence token id. `ud1` =
+    * POSsynt_UD after pruning, `ups1` = POSsynt_UPOS after pruning,
+    * `mt` = POSsynt_match. */
   val cascadeCte: String =
-    """, e AS MATERIALIZED (SELECT doc_id, tok AS w, head AS h, edge FROM tok2)
+    """, e AS MATERIALIZED (SELECT doc_id, sent, tid AS w, head AS h, edge FROM tok2)
     , ps4 AS MATERIALIZED (
-      SELECT DISTINCT doc_id, tok, v FROM (
-        SELECT doc_id, w AS tok, 'N' AS v FROM e WHERE regexp_matches(edge, '^(nsubj|obj|dobj|iobj|obl|vocative|expl|dislocated)')
-        UNION ALL SELECT doc_id, h, 'V' FROM e WHERE regexp_matches(edge, '^(nsubj|obj|dobj|iobj|obl|vocative|expl|dislocated)')
-        UNION ALL SELECT doc_id, w, 'V' FROM e WHERE regexp_matches(edge, '^(csubj|ccomp|xcomp|advcl|aux|cop)')
-        UNION ALL SELECT doc_id, h, 'V' FROM e WHERE regexp_matches(edge, '^(csubj|ccomp|xcomp|advcl|aux|cop)')
-        UNION ALL SELECT doc_id, w, 'AV' FROM e WHERE regexp_matches(edge, '^(advmod)')
-        UNION ALL SELECT doc_id, w, 'AV' FROM e WHERE regexp_matches(edge, '^(discourse|mark)')
-        UNION ALL SELECT doc_id, h, 'V' FROM e WHERE regexp_matches(edge, '^(discourse|mark)')) u0)
+      SELECT DISTINCT doc_id, sent, tok, v FROM (
+        SELECT doc_id, sent, w AS tok, 'N' AS v FROM e WHERE regexp_matches(edge, '^(nsubj|obj|dobj|iobj|obl|vocative|expl|dislocated)')
+        UNION ALL SELECT doc_id, sent, h, 'V' FROM e WHERE regexp_matches(edge, '^(nsubj|obj|dobj|iobj|obl|vocative|expl|dislocated)')
+        UNION ALL SELECT doc_id, sent, w, 'V' FROM e WHERE regexp_matches(edge, '^(csubj|ccomp|xcomp|advcl|aux|cop)')
+        UNION ALL SELECT doc_id, sent, h, 'V' FROM e WHERE regexp_matches(edge, '^(csubj|ccomp|xcomp|advcl|aux|cop)')
+        UNION ALL SELECT doc_id, sent, w, 'AV' FROM e WHERE regexp_matches(edge, '^(advmod)')
+        UNION ALL SELECT doc_id, sent, w, 'AV' FROM e WHERE regexp_matches(edge, '^(discourse|mark)')
+        UNION ALL SELECT doc_id, sent, h, 'V' FROM e WHERE regexp_matches(edge, '^(discourse|mark)')) u0)
     , ps5 AS MATERIALIZED (
-      SELECT doc_id, tok, v FROM ps4
+      SELECT doc_id, sent, tok, v FROM ps4
       UNION
-      SELECT e.doc_id, e.w, 'AV' FROM e
+      SELECT e.doc_id, e.sent, e.w, 'AV' FROM e
       WHERE regexp_matches(e.edge, '^(neg)')
-        AND NOT EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.tok = e.w)
-        AND EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.tok = e.h)
-        AND NOT EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.tok = e.h AND p.v = 'N'))
+        AND NOT EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.w)
+        AND EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.h)
+        AND NOT EXISTS (SELECT 1 FROM ps4 p WHERE p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.h AND p.v = 'N'))
     , ps8 AS MATERIALIZED (
-      SELECT doc_id, tok, v FROM ps5
+      SELECT doc_id, sent, tok, v FROM ps5
       UNION
-      SELECT doc_id, tok, v FROM (
-        SELECT doc_id, w AS tok, 'N' AS v FROM e WHERE regexp_matches(edge, '^(nmod|appos|name)')
-        UNION ALL SELECT doc_id, h, 'N' FROM e WHERE regexp_matches(edge, '^(nmod|appos|name)')
-        UNION ALL SELECT doc_id, w, 'AN' FROM e WHERE regexp_matches(edge, '^(nummod|amod|det|clf|case)')
-        UNION ALL SELECT doc_id, h, 'N' FROM e WHERE regexp_matches(edge, '^(nummod|amod|det|clf|case)')
-        UNION ALL SELECT doc_id, w, 'V' FROM e WHERE regexp_matches(edge, '^(acl)')
-        UNION ALL SELECT doc_id, h, 'N' FROM e WHERE regexp_matches(edge, '^(acl)')) u1)
+      SELECT doc_id, sent, tok, v FROM (
+        SELECT doc_id, sent, w AS tok, 'N' AS v FROM e WHERE regexp_matches(edge, '^(nmod|appos|name)')
+        UNION ALL SELECT doc_id, sent, h, 'N' FROM e WHERE regexp_matches(edge, '^(nmod|appos|name)')
+        UNION ALL SELECT doc_id, sent, w, 'AN' FROM e WHERE regexp_matches(edge, '^(nummod|amod|det|clf|case)')
+        UNION ALL SELECT doc_id, sent, h, 'N' FROM e WHERE regexp_matches(edge, '^(nummod|amod|det|clf|case)')
+        UNION ALL SELECT doc_id, sent, w, 'V' FROM e WHERE regexp_matches(edge, '^(acl)')
+        UNION ALL SELECT doc_id, sent, h, 'N' FROM e WHERE regexp_matches(edge, '^(acl)')) u1)
     , ps9 AS MATERIALIZED (
-      SELECT doc_id, tok, v FROM ps8
+      SELECT doc_id, sent, tok, v FROM ps8
       UNION
-      SELECT e.doc_id, e.w, 'AN' FROM e
+      SELECT e.doc_id, e.sent, e.w, 'AN' FROM e
       WHERE regexp_matches(e.edge, '^(neg)')
-        AND EXISTS (SELECT 1 FROM ps8 p WHERE p.doc_id = e.doc_id AND p.tok = e.h AND p.v = 'N'))
+        AND EXISTS (SELECT 1 FROM ps8 p WHERE p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.h AND p.v = 'N'))
     , ps11 AS MATERIALIZED (
-      SELECT doc_id, tok, v FROM ps9
-      UNION SELECT doc_id, w, 'X' FROM e WHERE regexp_matches(edge, '^(punct|foreign)')
-      UNION SELECT doc_id, w, 'RM' FROM e WHERE regexp_matches(edge, '^(cc)'))
+      SELECT doc_id, sent, tok, v FROM ps9
+      UNION SELECT doc_id, sent, w, 'X' FROM e WHERE regexp_matches(edge, '^(punct|foreign)')
+      UNION SELECT doc_id, sent, w, 'RM' FROM e WHERE regexp_matches(edge, '^(cc)'))
     , ps12 AS MATERIALIZED (
-      SELECT doc_id, tok, v FROM ps11
+      SELECT doc_id, sent, tok, v FROM ps11
       UNION
-      SELECT e.doc_id, e.h, p.v FROM e
-      JOIN ps11 p ON p.doc_id = e.doc_id AND p.tok = e.w
+      SELECT e.doc_id, e.sent, e.h, p.v FROM e
+      JOIN ps11 p ON p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.w
       WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
-        AND NOT EXISTS (SELECT 1 FROM ps11 q WHERE q.doc_id = e.doc_id AND q.tok = e.h)
+        AND NOT EXISTS (SELECT 1 FROM ps11 q WHERE q.doc_id = e.doc_id AND q.sent = e.sent AND q.tok = e.h)
       UNION
-      SELECT e.doc_id, e.w, p.v FROM e
-      JOIN ps11 p ON p.doc_id = e.doc_id AND p.tok = e.h
+      SELECT e.doc_id, e.sent, e.w, p.v FROM e
+      JOIN ps11 p ON p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.h
       WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
-        AND NOT EXISTS (SELECT 1 FROM ps11 q WHERE q.doc_id = e.doc_id AND q.tok = e.w))
+        AND NOT EXISTS (SELECT 1 FROM ps11 q WHERE q.doc_id = e.doc_id AND q.sent = e.sent AND q.tok = e.w))
     , ps13 AS MATERIALIZED (
-      SELECT doc_id, tok, v FROM ps12
+      SELECT doc_id, sent, tok, v FROM ps12
       UNION
-      SELECT e.doc_id, e.h, p.v FROM e
-      JOIN ps12 p ON p.doc_id = e.doc_id AND p.tok = e.w
+      SELECT e.doc_id, e.sent, e.h, p.v FROM e
+      JOIN ps12 p ON p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.w
       WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
-        AND NOT EXISTS (SELECT 1 FROM ps12 q WHERE q.doc_id = e.doc_id AND q.tok = e.h)
+        AND NOT EXISTS (SELECT 1 FROM ps12 q WHERE q.doc_id = e.doc_id AND q.sent = e.sent AND q.tok = e.h)
       UNION
-      SELECT e.doc_id, e.w, p.v FROM e
-      JOIN ps12 p ON p.doc_id = e.doc_id AND p.tok = e.h
+      SELECT e.doc_id, e.sent, e.w, p.v FROM e
+      JOIN ps12 p ON p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.h
       WHERE regexp_matches(e.edge, '^(conj|parataxis|flat|compound|fixed|mwe|list)')
-        AND NOT EXISTS (SELECT 1 FROM ps12 q WHERE q.doc_id = e.doc_id AND q.tok = e.w))
+        AND NOT EXISTS (SELECT 1 FROM ps12 q WHERE q.doc_id = e.doc_id AND q.sent = e.sent AND q.tok = e.w))
     , ps14 AS MATERIALIZED (
-      SELECT doc_id, tok, v FROM ps13
+      SELECT doc_id, sent, tok, v FROM ps13
       UNION
-      SELECT e.doc_id, e.w, 'V' FROM e
+      SELECT e.doc_id, e.sent, e.w, 'V' FROM e
       WHERE regexp_matches(e.edge, '^(root)')
-        AND NOT EXISTS (SELECT 1 FROM ps13 p WHERE p.doc_id = e.doc_id AND p.tok = e.w))
+        AND NOT EXISTS (SELECT 1 FROM ps13 p WHERE p.doc_id = e.doc_id AND p.sent = e.sent AND p.tok = e.w))
     , uu AS MATERIALIZED (
-      SELECT doc_id, tok,
+      SELECT doc_id, sent, tid AS tok,
         CASE WHEN regexp_matches(upos, 'NOUN|PROPN|PRON') THEN 'N'
              WHEN regexp_matches(upos, 'VERB|AUX') THEN 'V'
              WHEN regexp_matches(upos, 'ADJ|DET|NUM') THEN 'AN'
@@ -193,47 +216,57 @@ object KgOracle {
              ELSE 'X' END AS v
       FROM tok2
       UNION ALL
-      SELECT doc_id, tok, CASE WHEN upos = 'ADP' THEN 'AN' ELSE 'AV' END
+      SELECT doc_id, sent, tid, CASE WHEN upos = 'ADP' THEN 'AN' ELSE 'AV' END
       FROM tok2 WHERE upos IN ('ADP', 'SCONJ'))
     , ud1 AS MATERIALIZED (
-      SELECT p.doc_id, p.tok, p.v FROM ps14 p WHERE NOT EXISTS (
+      SELECT p.doc_id, p.sent, p.tok, p.v FROM ps14 p WHERE NOT EXISTS (
         SELECT 1 FROM ps14 v JOIN uu u
-          ON u.doc_id = v.doc_id AND u.tok = v.tok AND u.v = v.v
-        WHERE v.doc_id = p.doc_id AND v.tok = p.tok AND v.v <> p.v))
+          ON u.doc_id = v.doc_id AND u.sent = v.sent AND u.tok = v.tok AND u.v = v.v
+        WHERE v.doc_id = p.doc_id AND v.sent = p.sent AND v.tok = p.tok AND v.v <> p.v))
     , ups1 AS MATERIALIZED (
-      SELECT p.doc_id, p.tok, p.v FROM uu p WHERE NOT EXISTS (
+      SELECT p.doc_id, p.sent, p.tok, p.v FROM uu p WHERE NOT EXISTS (
         SELECT 1 FROM ud1 v JOIN uu u
-          ON u.doc_id = v.doc_id AND u.tok = v.tok AND u.v = v.v
-        WHERE v.doc_id = p.doc_id AND v.tok = p.tok AND v.v <> p.v))
+          ON u.doc_id = v.doc_id AND u.sent = v.sent AND u.tok = v.tok AND u.v = v.v
+        WHERE v.doc_id = p.doc_id AND v.sent = p.sent AND v.tok = p.tok AND v.v <> p.v))
     , mt AS MATERIALIZED (
-      SELECT t.doc_id, t.tok,
+      SELECT t.doc_id, t.sent, t.tid AS tok,
         CASE WHEN EXISTS (
           SELECT 1 FROM ud1 v JOIN ups1 u
-            ON u.doc_id = v.doc_id AND u.tok = v.tok AND u.v = v.v
-          WHERE v.doc_id = t.doc_id AND v.tok = t.tok) THEN '1' ELSE '0' END AS v
+            ON u.doc_id = v.doc_id AND u.sent = v.sent AND u.tok = v.tok AND u.v = v.v
+          WHERE v.doc_id = t.doc_id AND v.sent = t.sent AND v.tok = t.tid) THEN '1' ELSE '0' END AS v
       FROM tok2 t)"""
 
+  /** Subject string for a PS-state row (tables expose `tok`). */
+  private val psSubjSql = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tok AS VARCHAR)"
+
   /** The parse-only triple branches over tok2 (shared by the analyze and
-    * link oracles). */
+    * link oracles): sentence nodes, the nextSentence chain, word typing,
+    * the nextWord chain, and the 5 declared columns. */
   private val baseBranchesSql: String =
-    """SELECT DISTINCT doc_id, ':s1_0' AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'rdf:type', 'nif:Word', TRUE FROM tok2
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'nif:nextWord', ':s1_' || CAST(tok + 1 AS VARCHAR), TRUE FROM tok2 WHERE tok < ntok
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:ID', CAST(tok AS VARCHAR), FALSE FROM tok2
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:WORD', word, FALSE FROM tok2
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:UPOS', upos, FALSE FROM tok2
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:HEAD', ':s1_' || CAST(head AS VARCHAR), TRUE FROM tok2
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:EDGE', edge, FALSE FROM tok2"""
+    s"""SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok2 WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $subjSql, 'rdf:type', 'nif:Word', TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok2 WHERE tid < ntok
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:ID', CAST(tid AS VARCHAR), FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:WORD', word, FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:UPOS', upos, FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:HEAD', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(head AS VARCHAR), TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:EDGE', edge, FALSE FROM tok2"""
+
+  /** NOTE on `nif:nextSentence` attribution: SpanParser emits the
+    * (s{n-1}_0, nextSentence, s{n}_0) triple INSIDE sentence n's graph
+    * (linkPrev), so Pipeline.triples tags it with sent = n — the SQL
+    * branch above does the same. */
 
   /** Full triple table of the analyze-cascade output. */
   val analyzeSql: String =
     s"""$detCte $cascadeCte
-    SELECT doc_id, CAST(1 AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
       $baseBranchesSql
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_UPOS', v, FALSE FROM ups1
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_UD', v, FALSE FROM ud1
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:POSsynt_match', v, FALSE FROM mt
-    ) u ORDER BY doc_id, subj, pred, obj"""
+      UNION ALL SELECT doc_id, sent, $psSubjSql, 'conll:POSsynt_UPOS', v, FALSE FROM ups1
+      UNION ALL SELECT doc_id, sent, $psSubjSql, 'conll:POSsynt_UD', v, FALSE FROM ud1
+      UNION ALL SELECT doc_id, sent, $psSubjSql, 'conll:POSsynt_match', v, FALSE FROM mt
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
 
   /** link-ud cascade + fused entity links over the det pipeline. The
     * UPOS→OLiA concept sets are the SAME driver-side ontology closures the
@@ -249,61 +282,66 @@ object KgOracle {
       c <- (cs ++ cs.flatMap(x => sup.getOrElse(x, Seq.empty))).distinct
     } yield s"('$tag', '$c')"
     s"""$detCte, ud_concepts(upos, concept) AS (VALUES ${rows.sorted.mkString(", ")})
-    SELECT doc_id, CAST(1 AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
       $baseBranchesSql
-      UNION ALL SELECT t.doc_id, ':s1_' || CAST(t.tok AS VARCHAR), 'rdf:type', c.concept, TRUE
+      UNION ALL SELECT t.doc_id, t.sent,
+        ':s' || CAST(t.sent AS VARCHAR) || '_' || CAST(t.tid AS VARCHAR), 'rdf:type', c.concept, TRUE
         FROM tok2 t JOIN ud_concepts c ON c.upos = t.upos
-      UNION ALL SELECT doc_id, ':s1_' || CAST(tok AS VARCHAR), 'conll:ENTITY',
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:ENTITY',
         'ent:' || substring(md5(lower(word)), 1, 12), TRUE FROM tok2
-    ) u ORDER BY doc_id, subj, pred, obj"""
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
   }
 
   /** K2 TSV export (toConllTsv) over the parse-only det pipeline. */
   val conllExportSql: String =
     s"""$detCte
-    SELECT doc_id, CAST(1 AS BIGINT) AS sent, CAST(tok AS INT) AS tok,
-      CAST(tok AS VARCHAR) AS ID, word AS WORD, upos AS UPOS,
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, CAST(tid AS INT) AS tok,
+      CAST(tid AS VARCHAR) AS ID, word AS WORD, upos AS UPOS,
       CAST(head AS VARCHAR) AS HEAD, edge AS EDGE
-    FROM tok2 ORDER BY doc_id, tok"""
+    FROM tok2 ORDER BY doc_id, sent, tok"""
 
-  /** K2 text sink (toConllText): one string per document. */
+  /** K2 text sink (toConllText): one string per document — header, then
+    * per-sentence blocks separated by blank lines. */
   val conllTextSql: String =
-    s"""$detCte
+    s"""$detCte, blocks AS (
+      SELECT doc_id, sent,
+        string_agg(CAST(tid AS VARCHAR) || chr(9) || word || chr(9) || upos ||
+                   chr(9) || CAST(head AS VARCHAR) || chr(9) || edge,
+                   chr(10) ORDER BY tid) AS block
+      FROM tok2 GROUP BY doc_id, sent)
     SELECT doc_id,
       '# global.columns = ID WORD UPOS HEAD EDGE' || chr(10) ||
-      string_agg(CAST(tok AS VARCHAR) || chr(9) || word || chr(9) || upos ||
-                 chr(9) || CAST(head AS VARCHAR) || chr(9) || edge,
-                 chr(10) ORDER BY tok) AS text
-    FROM tok2 GROUP BY doc_id ORDER BY doc_id"""
+      string_agg(block, chr(10) || chr(10) ORDER BY sent) AS text
+    FROM blocks GROUP BY doc_id ORDER BY doc_id"""
 
   /** K3 eval-POSsynt SELECT over the analyze output. */
   val evalPossyntSql: String =
     s"""$detCte $cascadeCte
-    SELECT t.doc_id, CAST(1 AS BIGINT) AS sent,
-      ':s1_' || CAST(t.tok AS VARCHAR) AS subj,
+    SELECT t.doc_id, CAST(t.sent AS BIGINT) AS sent,
+      ':s' || CAST(t.sent AS VARCHAR) || '_' || CAST(t.tid AS VARCHAR) AS subj,
       t.word, t.upos, t.edge AS udep,
       COALESCE((SELECT string_agg(v, ' ' ORDER BY v) FROM ups1 p
-                WHERE p.doc_id = t.doc_id AND p.tok = t.tok), '') AS "POSsynt_UPOS",
+                WHERE p.doc_id = t.doc_id AND p.sent = t.sent AND p.tok = t.tid), '') AS "POSsynt_UPOS",
       COALESCE((SELECT string_agg(v, ' ' ORDER BY v) FROM ud1 p
-                WHERE p.doc_id = t.doc_id AND p.tok = t.tok), '') AS "POSsynt_UDEP",
+                WHERE p.doc_id = t.doc_id AND p.sent = t.sent AND p.tok = t.tid), '') AS "POSsynt_UDEP",
       m.v AS "match"
-    FROM tok2 t JOIN mt m ON m.doc_id = t.doc_id AND m.tok = t.tok
-    ORDER BY t.doc_id, t.tok"""
+    FROM tok2 t JOIN mt m ON m.doc_id = t.doc_id AND m.sent = t.sent AND m.tok = t.tid
+    ORDER BY t.doc_id, t.sent, t.tid"""
 
   /** K3 generic select-conllu.sparql over the parse-only det pipeline. */
   val selectConlluSql: String =
     s"""$detCte
-    SELECT doc_id, CAST(1 AS BIGINT) AS sent, CAST(tok AS INT) AS ord,
-      CAST(tok AS VARCHAR) AS ID, word AS WORD, upos AS UPOS,
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, CAST(tid AS INT) AS ord,
+      CAST(tid AS VARCHAR) AS ID, word AS WORD, upos AS UPOS,
       CAST(head AS VARCHAR) AS HEAD, edge AS EDGE
-    FROM tok2 ORDER BY doc_id, ord"""
+    FROM tok2 ORDER BY doc_id, sent, ord"""
 
   /** K3 select-sentence-strings.sparql. */
   val selectSentencesSql: String =
     s"""$detCte
-    SELECT doc_id, CAST(1 AS BIGINT) AS sent_id,
-      string_agg(word, ' ' ORDER BY tok) AS sentence
-    FROM tok2 GROUP BY doc_id ORDER BY doc_id"""
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent_id,
+      string_agg(word, ' ' ORDER BY tid) AS sentence
+    FROM tok2 GROUP BY doc_id, sent ORDER BY doc_id, sent_id"""
 
   /** K4 sorted N-Triples lines over the parse-only det pipeline (expanded
     * URIs, escaped literals — Serializers.toSortedNTriples). The engine
@@ -313,19 +351,23 @@ object KgOracle {
     val conll = "http://ufal.mff.cuni.cz/conll2009-st/task-description.html#"
     val nif = "http://persistence.uni-leipzig.org/nlp2rdf/ontologies/nif-core#"
     val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val wordUri = "'<urn:graft:' || doc_id || '#s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR) || '>'"
+    val sentUri = "'<urn:graft:' || doc_id || '#s' || CAST(sent AS VARCHAR) || '_0>'"
     s"""$detCte
-    SELECT '<urn:graft:' || doc_id || '#s1_' || CAST(tok AS VARCHAR) || '> <' || p ||
-           '> ' || o || ' .' AS line FROM (
-      SELECT doc_id, tok, '$rdfType' AS p, '<${nif}Word>' AS o FROM tok2
-      UNION ALL SELECT doc_id, tok, '${nif}nextWord',
-        '<urn:graft:' || doc_id || '#s1_' || CAST(tok + 1 AS VARCHAR) || '>' FROM tok2 WHERE tok < ntok
-      UNION ALL SELECT doc_id, tok, '${conll}ID', '"' || CAST(tok AS VARCHAR) || '"' FROM tok2
-      UNION ALL SELECT doc_id, tok, '${conll}WORD', '"' || word || '"' FROM tok2
-      UNION ALL SELECT doc_id, tok, '${conll}UPOS', '"' || upos || '"' FROM tok2
-      UNION ALL SELECT doc_id, tok, '${conll}HEAD',
-        '<urn:graft:' || doc_id || '#s1_' || CAST(head AS VARCHAR) || '>' FROM tok2
-      UNION ALL SELECT doc_id, tok, '${conll}EDGE', '"' || edge || '"' FROM tok2) u
+    SELECT $wordUri || ' <' || p || '> ' || o || ' .' AS line FROM (
+      SELECT doc_id, sent, tid, '$rdfType' AS p, '<${nif}Word>' AS o FROM tok2
+      UNION ALL SELECT doc_id, sent, tid, '${nif}nextWord',
+        '<urn:graft:' || doc_id || '#s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR) || '>' FROM tok2 WHERE tid < ntok
+      UNION ALL SELECT doc_id, sent, tid, '${conll}ID', '"' || CAST(tid AS VARCHAR) || '"' FROM tok2
+      UNION ALL SELECT doc_id, sent, tid, '${conll}WORD', '"' || word || '"' FROM tok2
+      UNION ALL SELECT doc_id, sent, tid, '${conll}UPOS', '"' || upos || '"' FROM tok2
+      UNION ALL SELECT doc_id, sent, tid, '${conll}HEAD',
+        '<urn:graft:' || doc_id || '#s' || CAST(sent AS VARCHAR) || '_' || CAST(head AS VARCHAR) || '>' FROM tok2
+      UNION ALL SELECT doc_id, sent, tid, '${conll}EDGE', '"' || edge || '"' FROM tok2) u
     UNION ALL
-    SELECT DISTINCT '<urn:graft:' || doc_id || '#s1_0> <$rdfType> <${nif}Sentence> .' FROM tok2"""
+    SELECT DISTINCT $sentUri || ' <$rdfType> <${nif}Sentence> .' FROM tok2
+    UNION ALL
+    SELECT DISTINCT '<urn:graft:' || doc_id || '#s' || CAST(sent - 1 AS VARCHAR) || '_0> <${nif}nextSentence> ' || $sentUri || ' .'
+    FROM tok2 WHERE sent > 1"""
   }
 }
