@@ -343,6 +343,23 @@ object KgOracle {
       string_agg(word, ' ' ORDER BY tid) AS sentence
     FROM tok2 GROUP BY doc_id, sent ORDER BY doc_id, sent_id"""
 
+  /** U14 lookback-window rule (ContextWindow.pronounAntecedent, lookback
+    * 2): a sentence-initial PRON word is annotated with the LAST nsubj
+    * surface of the NEAREST preceding sentence (within the window) that
+    * has one. */
+  val contextAntecedentSql: String =
+    s"""$detCte, nsubj_last AS (
+      SELECT doc_id, sent, arg_max(word, tid) AS w
+      FROM tok2 WHERE edge = 'nsubj' GROUP BY doc_id, sent)
+    SELECT p.doc_id, CAST(p.sent AS BIGINT) AS sent,
+      ':s' || CAST(p.sent AS VARCHAR) || '_1' AS subj,
+      arg_max(n.w, n.sent) AS antecedent
+    FROM (SELECT doc_id, sent FROM tok2 WHERE tid = 1 AND upos = 'PRON') p
+    JOIN nsubj_last n
+      ON n.doc_id = p.doc_id AND n.sent BETWEEN p.sent - 2 AND p.sent - 1
+    GROUP BY p.doc_id, p.sent
+    ORDER BY p.doc_id, sent"""
+
   /** K4 sorted N-Triples lines over the parse-only det pipeline (expanded
     * URIs, escaped literals — Serializers.toSortedNTriples). The engine
     * side sorts within partitions only (the 100 TB plan); the compare is

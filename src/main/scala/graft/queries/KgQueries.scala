@@ -152,6 +152,21 @@ object KgQueries {
       Some(KgOracle.conllTextSql)
     ),
     Q(
+      // U14: lookback-window context rewriting (the reference's lookback
+      // named graph) — one window shuffle to attach ±N sentence contexts,
+      // then the narrow context-aware rule; driver-hash-checked.
+      "kg_context_antecedent",
+      (s, dir) => {
+        val ctx = ContextWindow.attach(detParsed(s, dir), lookback = 2, lookahead = 0)
+        val out = ContextWindow.rewriteWithContext(ctx)(ContextWindow.pronounAntecedent)
+        Pipeline.triples(out).toDF
+          .filter(col("pred") === "conll:ANTECEDENT")
+          .select(col("doc_id"), col("sent"), col("subj"), col("obj").as("antecedent"))
+          .orderBy(col("doc_id"), col("sent"))
+      },
+      Some(KgOracle.contextAntecedentSql)
+    ),
+    Q(
       // S7: XML-TSV source → powla tree triples + xAttributes2value
       "kg_xmltsv_powla",
       (s, dir) => {
