@@ -78,10 +78,34 @@ object Bench {
     val warm = session(32); warm.sparkContext.setLogLevel("WARN")
     kgRun(warm, docsPath); kgRun(warm, docsPath); warm.stop()
 
-    // this host has noisy-neighbor CPU steal (minutes of cumulative steal
-    // in /proc/stat): interleave the two levels over 3 rounds and take the
-    // per-level minimum, so a slow period can't bias one level only
-    val rounds = (1 to 3).map(_ => (measureOnce(levelN), measureOnce(level4N)))
+    // cumulative steal jiffies across all cpus (/proc/stat "cpu" line,
+    // field 8) — a whole-window burst of neighbor steal slows BOTH levels
+    // proportionally and corrupts the ratio (observed: 0.755 under ~940
+    // CPU-s of steal vs 0.924 immediately after on the idle box)
+    def stealJiffies(): Long = scala.util.Try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
+        .map(_.toLong).getOrElse(0L)
+      finally src.close()
+    }.getOrElse(0L)
+
+    // this host has noisy-neighbor CPU steal: interleave the two levels
+    // and take per-level minima so a slow period can't bias one level
+    // only; additionally, rounds that overlapped a steal burst (> ~20
+    // CPU-seconds) don't count toward the 3 required clean rounds — up
+    // to 6 rounds total are attempted
+    val rounds = scala.collection.mutable.ArrayBuffer[((Double, Long), (Double, Long))]()
+    var clean = 0
+    var attempts = 0
+    while (clean < 3 && attempts < 6) {
+      val s0 = stealJiffies()
+      val r = (measureOnce(levelN), measureOnce(level4N))
+      val stealDelta = stealJiffies() - s0
+      rounds += r
+      if (stealDelta < 2000L) clean += 1
+      else System.err.println(s"[bench] round polluted by steal: $stealDelta jiffies")
+      attempts += 1
+    }
     val tN = rounds.map(_._1._1).min
     val t4N = rounds.map(_._2._1).min
     val triples = rounds.head._1._2
