@@ -351,6 +351,53 @@ object DedupQueries {
       })
     ),
     Q(
+      // Content-defined chunking (rolling-hash fingerprinting for
+      // PARTIAL-duplicate detection): a chunk boundary opens wherever the
+      // hash of the 3-gram window ending at a token starts with hex '0'
+      // (expected chunk length 16 tokens), so an insertion early in a
+      // document shifts only the chunk it lands in — unlike q27's
+      // whole-doc hash. Output: one fingerprint row per chunk. Window +
+      // running-sum + one groupBy; no joins.
+      "q33_cdc_chunks",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"doc_id").orderBy($"tok")
+        val grams = TextQueries.tokens(s, dir)
+          .withColumn("w2", lag($"word", 2).over(w))
+          .withColumn("w1", lag($"word", 1).over(w))
+          .withColumn("boundary",
+            when($"tok" === 1, 1L).otherwise(
+              when(substring(md5s(concat_ws(" ",
+                coalesce($"w2", lit("")), coalesce($"w1", lit("")), $"word")), 1, 1) === "0",
+                1L).otherwise(0L)))
+          .withColumn("chunk_id", sum($"boundary").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        grams.groupBy($"doc_id", $"chunk_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            md5s(array_join(
+              transform(array_sort(collect_list(struct($"tok", $"word"))),
+                x => x.getField("word")),
+              " ")).as("chunk_fp"))
+          .orderBy($"doc_id", $"chunk_id")
+      },
+      Some(s"""${TextQueries.tokensCte}, grams AS (
+          SELECT doc_id, tok, word,
+            CASE WHEN tok = 1 THEN 1
+                 WHEN substring(md5(COALESCE(lag(word, 2) OVER w, '') || ' ' ||
+                                    COALESCE(lag(word, 1) OVER w, '') || ' ' || word), 1, 1) = '0'
+                 THEN 1 ELSE 0 END AS boundary
+          FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY tok)),
+        chunks AS (
+          SELECT doc_id, tok, word,
+            CAST(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY tok
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_id
+          FROM grams)
+        SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+               md5(string_agg(word, ' ' ORDER BY tok)) AS chunk_fp
+        FROM chunks GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""")
+    ),
+    Q(
       // Document fingerprint: md5 over whitespace-normalized lowercase text.
       "q27_fingerprint",
       (s, dir) => {

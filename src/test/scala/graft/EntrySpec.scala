@@ -13,7 +13,7 @@ class EntrySpec extends AnyFunSuite {
   test("oracleSql keys ⊆ queries keys; names unique") {
     val q = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
-    assert(q.size == 48, s"expected 48 registry entries, got ${q.size}")
+    assert(q.size == 49, s"expected 49 registry entries, got ${q.size}")
     // round-2 gate: the KG/mm core must be oracle-backed (VERDICT r1 #1)
     val oracleBacked = SparkEntry.oracleSql.keySet
     assert(Seq("kg_pipeline_analyze", "kg_eval_possynt", "kg_conll_export",
