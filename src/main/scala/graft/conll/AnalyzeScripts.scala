@@ -17,7 +17,7 @@ object AnalyzeScripts {
   /** remove-ID.sparql / remove-IGNORE.sparql:1-7 — drop one column. */
   def removeColumn(col: String): Script = Script(s"remove-$col", Seq(
     stage { (g, out) =>
-      for ((s, o, u) <- g.pairs(conll(col))) out.del(s, conll(col), o, u)
+      g.foreachPair(conll(col))((s, o, u) => out.del(s, conll(col), o, u))
     }
   ))
 
@@ -31,11 +31,11 @@ object AnalyzeScripts {
     def classify(pat: String, exact: Boolean, values: Seq[String], guard: Boolean): Stage = {
       val matches = if (exact) null else rex(pat)
       stage { (g, out) =>
-        for ((w, upos, _) <- g.pairs(UPOS)
-             if (!guard || !g.has(w, PS_UPOS)) &&
-               (if (exact) upos == pat else matches(upos));
-             v <- values)
-          out.insLit(w, PS_UPOS, v)
+        g.foreachPair(UPOS) { (w, upos, _) =>
+          if ((!guard || !g.has(w, PS_UPOS)) &&
+              (if (exact) upos == pat else matches(upos)))
+            values.foreach(v => out.insLit(w, PS_UPOS, v))
+        }
       }
     }
     Script("UPOS-to-POSsynt", Seq(
@@ -58,40 +58,51 @@ object AnalyzeScripts {
     def edgeRule(pat: String, wv: Option[String], hv: Option[String]): Stage = {
       val matches = rex(pat)
       stage { (g, out) =>
-        for ((w, edge, _) <- g.pairs(EDGE) if matches(edge);
-             h <- g.objects(w, HEAD)) {
-          wv.foreach(v => out.insLit(w, PS_UD, v))
-          hv.foreach(v => out.insLit(h, PS_UD, v))
+        g.foreachPair(EDGE) { (w, edge, _) =>
+          if (matches(edge))
+            g.foreachObject(w, HEAD) { h =>
+              wv.foreach(v => out.insLit(w, PS_UD, v))
+              hv.foreach(v => out.insLit(h, PS_UD, v))
+            }
         }
       }
     }
     val negRe = rex("^(neg)")
     val negAv: Stage = stage { (g, out) =>
-      for ((w, edge, _) <- g.pairs(EDGE) if negRe(edge);
-           h <- g.objects(w, HEAD)
-           if !g.has(w, PS_UD) && g.has(h, PS_UD) && !g.has(h, PS_UD, "N"))
-        out.insLit(w, PS_UD, "AV")
+      g.foreachPair(EDGE) { (w, edge, _) =>
+        if (negRe(edge))
+          g.foreachObject(w, HEAD) { h =>
+            if (!g.has(w, PS_UD) && g.has(h, PS_UD) && !g.has(h, PS_UD, "N"))
+              out.insLit(w, PS_UD, "AV")
+          }
+      }
     }
     val negAn: Stage = stage { (g, out) =>
-      for ((w, edge, _) <- g.pairs(EDGE) if negRe(edge);
-           h <- g.objects(w, HEAD) if g.has(h, PS_UD, "N"))
-        out.insLit(w, PS_UD, "AN")
+      g.foreachPair(EDGE) { (w, edge, _) =>
+        if (negRe(edge))
+          g.foreachObject(w, HEAD) { h =>
+            if (g.has(h, PS_UD, "N")) out.insLit(w, PS_UD, "AN")
+          }
+      }
     }
     val propRe = rex("^(conj|parataxis|flat|compound|fixed|mwe|list)")
     val propagate: Stage = stage { (g, out) =>
-      for ((w, edge, _) <- g.pairs(EDGE) if propRe(edge);
-           h <- g.objects(w, HEAD)) {
-        if (!g.has(h, PS_UD))
-          for (p <- g.objects(w, PS_UD)) { out.insLit(w, PS_UD, p); out.insLit(h, PS_UD, p) }
-        if (!g.has(w, PS_UD))
-          for (p <- g.objects(h, PS_UD)) { out.insLit(w, PS_UD, p); out.insLit(h, PS_UD, p) }
+      g.foreachPair(EDGE) { (w, edge, _) =>
+        if (propRe(edge))
+          g.foreachObject(w, HEAD) { h =>
+            if (!g.has(h, PS_UD))
+              g.foreachObject(w, PS_UD) { p => out.insLit(w, PS_UD, p); out.insLit(h, PS_UD, p) }
+            if (!g.has(w, PS_UD))
+              g.foreachObject(h, PS_UD) { p => out.insLit(w, PS_UD, p); out.insLit(h, PS_UD, p) }
+          }
       }
     }
     val rootRe = rex("^(root)")
     val root: Stage = stage { (g, out) =>
-      for ((w, edge, _) <- g.pairs(EDGE)
-           if g.objects(w, HEAD).nonEmpty && !g.has(w, PS_UD) && rootRe(edge))
-        out.insLit(w, PS_UD, "V")
+      g.foreachPair(EDGE) { (w, edge, _) =>
+        if (g.has(w, HEAD) && !g.has(w, PS_UD) && rootRe(edge))
+          out.insLit(w, PS_UD, "V")
+      }
     }
     Script("EDGE-to-POSsynt", Seq(
       edgeRule("^(nsubj|obj|dobj|iobj|obl|vocative|expl|dislocated)", Some("N"), Some("V")),
@@ -114,20 +125,27 @@ object AnalyzeScripts {
   val consolidatePossynt: Script = Script("consolidate-POSsynt", Seq(
     // (1a) drop POSsynt_UD alternatives when some value matches POSsynt_UPOS
     stage { (g, out) =>
-      for ((w, v, _) <- g.pairs(PS_UD) if g.has(w, PS_UPOS, v);
-           other <- g.objects(w, PS_UD) if other != v)
-        out.del(w, PS_UD, other, uri = false)
+      g.foreachPair(PS_UD) { (w, v, _) =>
+        if (g.has(w, PS_UPOS, v))
+          g.foreachObject(w, PS_UD) { other =>
+            if (other != v) out.del(w, PS_UD, other, uri = false)
+          }
+      }
     },
     // (1b) symmetric for POSsynt_UPOS
     stage { (g, out) =>
-      for ((w, v, _) <- g.pairs(PS_UD) if g.has(w, PS_UPOS, v);
-           other <- g.objects(w, PS_UPOS) if other != v)
-        out.del(w, PS_UPOS, other, uri = false)
+      g.foreachPair(PS_UD) { (w, v, _) =>
+        if (g.has(w, PS_UPOS, v))
+          g.foreachObject(w, PS_UPOS) { other =>
+            if (other != v) out.del(w, PS_UPOS, other, uri = false)
+          }
+      }
     },
     // (2a) POSsynt_match "1" where a shared value exists
     stage { (g, out) =>
-      for ((w, v, _) <- g.pairs(PS_UD) if g.has(w, PS_UPOS, v))
-        out.insLit(w, conll("POSsynt_match"), "1")
+      g.foreachPair(PS_UD) { (w, v, _) =>
+        if (g.has(w, PS_UPOS, v)) out.insLit(w, conll("POSsynt_match"), "1")
+      }
     },
     // (2b) default "0" for untouched words
     stage { (g, out) =>

@@ -93,6 +93,21 @@ final class SentGraph private (init: Iterable[Triple]) {
       case None => false
     }
 
+  /** Non-allocating visit of all live (subject, object, objIsUri) for a
+    * predicate, insertion-ordered — the hot-path form of `pairs`. The
+    * callback must only COLLECT (stages apply their deletes/inserts after
+    * the scan, per Rules.Script), never mutate the graph mid-scan. */
+  def foreachPair(p: String)(f: (String, String, Boolean) => Unit): Unit =
+    buckets.get(p) match {
+      case Some(b) =>
+        var i = 0
+        while (i < b.n) {
+          if (b.subs(i) != null) f(b.subs(i), b.objs(i), b.uris(i))
+          i += 1
+        }
+      case None =>
+    }
+
   /** All (subject, object, objIsUri) for a predicate, insertion-ordered. */
   def pairs(p: String): collection.IndexedSeq[(String, String, Boolean)] =
     buckets.get(p) match {
@@ -105,6 +120,19 @@ final class SentGraph private (init: Iterable[Triple]) {
         }
         out
       case None => IndexedSeq.empty
+    }
+
+  /** Non-allocating visit of the objects of (s, p) — hot-path form of
+    * `objects`; same collect-only contract as `foreachPair`. */
+  def foreachObject(s: String, p: String)(f: String => Unit): Unit =
+    buckets.get(p) match {
+      case Some(b) =>
+        var i = 0
+        while (i < b.n) {
+          if (b.subs(i) != null && b.subs(i) == s) f(b.objs(i))
+          i += 1
+        }
+      case None =>
     }
 
   /** Objects of (s, p). */
