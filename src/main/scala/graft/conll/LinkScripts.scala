@@ -13,9 +13,9 @@ object LinkScripts {
   def linkUposSimple(tagToConcepts: Map[String, Seq[String]]): Script =
     Script("link-UPOS-simple", Seq(
       stage { (g, out) =>
-        for ((w, pos, _) <- g.pairs(conll("UPOS"));
-             c <- tagToConcepts.getOrElse(pos, Seq.empty))
-          out.insUri(w, A, c)
+        g.foreachPair(conll("UPOS")) { (w, pos, _) =>
+          tagToConcepts.getOrElse(pos, Seq.empty).foreach(c => out.insUri(w, A, c))
+        }
       }
     ))
 
@@ -23,9 +23,9 @@ object LinkScripts {
   def linkPennPos(tagToConcepts: Map[String, Seq[String]]): Script =
     Script("link-penn-POS", Seq(
       stage { (g, out) =>
-        for ((w, pos, _) <- g.pairs(conll("POS"));
-             c <- tagToConcepts.getOrElse(pos, Seq.empty))
-          out.insUri(w, A, c)
+        g.foreachPair(conll("POS")) { (w, pos, _) =>
+          tagToConcepts.getOrElse(pos, Seq.empty).foreach(c => out.insUri(w, A, c))
+        }
       }
     ))
 
@@ -49,9 +49,10 @@ object LinkScripts {
   def inferOliaConcepts(supers: Map[String, Seq[String]]): Script =
     Script("infer-olia-concepts", Seq(
       stage { (g, out) =>
-        for ((w, c, _) <- g.pairs(A) if c.startsWith("olia:");
-             sup <- supers.getOrElse(c, Seq.empty))
-          out.insUri(w, A, sup)
+        g.foreachPair(A) { (w, c, _) =>
+          if (c.startsWith("olia:"))
+            supers.getOrElse(c, Seq.empty).foreach(sup => out.insUri(w, A, sup))
+        }
       }
     ))
 
@@ -62,9 +63,10 @@ object LinkScripts {
   def removeAnnotationModel(isAnnotationNs: String => Boolean = defaultAnnotationNs): Script =
     Script("remove-annotation-model", Seq(
       stage { (g, out) =>
-        for (t <- g.all
-             if isAnnotationNs(t.s) || isAnnotationNs(t.p) || (t.oUri && isAnnotationNs(t.o)))
-          out.dels += t
+        g.foreachTriple { (s, p, o, u) =>
+          if (isAnnotationNs(s) || isAnnotationNs(p) || (u && isAnnotationNs(o)))
+            out.del(s, p, o, u)
+        }
       }
     ))
 
