@@ -93,6 +93,40 @@ object KgOracle {
       }
   }
 
+  /** documents.parquet → deterministic SketchEngine-shaped XML-TSV docs:
+    * `<doc id="D">` wrapping one `<s>…</s>` per 15-token sentence, 2-col
+    * TSV rows (WORD, UPOS). `s` is a breaking element, so the S7 parser's
+    * flush-and-reassert path (still-open `<doc>` re-asserted into every
+    * following sentence, document-global xmlId counter) is exercised and
+    * oracle-checked. */
+  def detXmlDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        val words = text.split("\\s+")
+        val spans = scala.collection.mutable.ArrayBuffer[Span]()
+        var off = 0
+        def add(kind: String, t: String): Unit = {
+          spans += Span(kind, t, "", off); off += 1
+        }
+        add("markup", s"""<doc id="$docId">""")
+        words.iterator.zipWithIndex.foreach { case (w, idx) =>
+          val tid = idx % SENT_LEN + 1
+          if (tid == 1) {
+            if (idx > 0) add("markup", "</s>")
+            add("markup", "<s>")
+          }
+          add("token", s"$w\t${uposFromHex(md5hex(w).charAt(0))}")
+        }
+        add("markup", "</s>")
+        add("markup", "</doc>")
+        InputDoc(docId, spans.toSeq)
+      }
+  }
+
+  val detXmlCols: Seq[String] = Seq("WORD", "UPOS")
+
   // ------------------------------------------------------------------
   // DuckDB mirror
   // ------------------------------------------------------------------
@@ -359,6 +393,42 @@ object KgOracle {
       ON n.doc_id = p.doc_id AND n.sent BETWEEN p.sent - 2 AND p.sent - 1
     GROUP BY p.doc_id, p.sent
     ORDER BY p.doc_id, sent"""
+
+  /** S7 XML-TSV → powla trees + xAttributes2value over the det XML docs.
+    * Per sentence k (1-based): the re-asserted `:x1` doc node (rdf:value
+    * folded to `doc id="D"`, x:id kept — xAttributes2value deletes only
+    * rdf:value), the `:x{k+1}` s-node (document-global id counter:
+    * doc = 1, k-th `<s>` = k+1), token hasParent/next chains, and the
+    * CoNLL core with NO HEAD column → every token depends on the sentence
+    * node (CoNLL2RDF.java:154-155). */
+  val xmltsvSql: String =
+    s"""$detCte
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok2 WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $subjSql, 'rdf:type', 'nif:Word', TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok2 WHERE tid < ntok
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:WORD', word, FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:UPOS', upos, FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:HEAD', $sentNodeSql, TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'powla:hasParent', ':x' || CAST(sent + 1 AS VARCHAR), TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'powla:next', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok2 WHERE tid < ntok
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'rdf:type', 'powla:Node', TRUE FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'rdf:type', 'conll:XML_DATA', TRUE FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'rdf:value', 'doc id="' || doc_id || '"', FALSE FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'x:id', doc_id, FALSE FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x' || CAST(sent + 1 AS VARCHAR), 'rdf:type', 'powla:Node', TRUE FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x' || CAST(sent + 1 AS VARCHAR), 'rdf:type', 'conll:XML_DATA', TRUE FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x' || CAST(sent + 1 AS VARCHAR), 'rdf:value', 's', FALSE FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x' || CAST(sent + 1 AS VARCHAR), 'powla:hasParent', ':x1', TRUE FROM tok2
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+
+  /** count_xml_triples.sparql over the det XML path: 2 conll:XML_DATA
+    * nodes (doc + s) per sentence graph. */
+  val countXmlSql: String =
+    s"""$detCte
+    SELECT CAST(2 * COUNT(*) AS BIGINT) AS n
+    FROM (SELECT DISTINCT doc_id, sent FROM tok2) t"""
 
   /** K4 sorted N-Triples lines over the parse-only det pipeline (expanded
     * URIs, escaped literals — Serializers.toSortedNTriples). The engine

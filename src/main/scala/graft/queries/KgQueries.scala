@@ -167,28 +167,32 @@ object KgQueries {
       Some(KgOracle.contextAntecedentSql)
     ),
     Q(
-      // S7: XML-TSV source → powla tree triples + xAttributes2value
+      // S7: XML-TSV source → powla tree triples + xAttributes2value, over
+      // the deterministic XML docs (breaking-element flush, re-asserted
+      // open elements, document-global xmlId) — driver-hash-checked.
+      // The real bundled SketchEngine.sample stays golden-covered in
+      // TreeSourcesSpec.
       "kg_xmltsv_powla",
       (s, dir) => {
         import s.implicits._
-        val d = DocGen.xmlDocs(s, nDocsFor(dir) / 4)
-        val sents = d.flatMap(x => XmlTsvParser.parseDoc(x, Seq("WORD", "POS")))
+        val sents = KgOracle.detXmlDocs(s, dir)
+          .flatMap(x => XmlTsvParser.parseDoc(x, KgOracle.detXmlCols))
         Pipeline.triples(Pipeline.rewrite(sents,
           Seq(TreesScripts.xAttributes2value -> 1))).toDF
+          .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
-      None
+      Some(KgOracle.xmltsvSql)
     ),
     Q(
-      // K3: count_xml_triples.sparql over the powla path (rows-only — the
-      // XML doc generator is not SQL-reproducible).
+      // K3: count_xml_triples.sparql over the det powla path.
       "kg_count_xml",
       (s, dir) => {
         import s.implicits._
-        val d = DocGen.xmlDocs(s, nDocsFor(dir) / 4)
-        val sents = d.flatMap(x => XmlTsvParser.parseDoc(x, Seq("WORD", "POS")))
+        val sents = KgOracle.detXmlDocs(s, dir)
+          .flatMap(x => XmlTsvParser.parseDoc(x, KgOracle.detXmlCols))
         Serializers.countXmlTriples(Pipeline.triples(sents).toDF)
       },
-      None
+      Some(KgOracle.countXmlSql)
     ),
     Q(
       // S8 + trees: brackets source → powla trees → emptyNode2Word →
