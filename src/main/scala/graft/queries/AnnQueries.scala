@@ -11,9 +11,11 @@ import org.apache.spark.sql.expressions.Window
   * assembled in IEEE double with an identical expression tree on both
   * sides, so ranks and 6-dp rounded similarities match bit-for-bit.
   *
-  * The library's throughput path (graft.functions.Similarity) uses
-  * float/double math without the decimal detour; this query is the
-  * correctness anchor.
+  * The library's throughput path (graft.functions.Similarity.topK) uses
+  * plain float/double math without the decimal detour (~10× cheaper per
+  * element, same broadcast + per-partition-top-k plan); this query is
+  * the correctness anchor, and SimilaritySpec pins the two paths to the
+  * same ranks on the test corpus.
   */
 object AnnQueries {
 
