@@ -97,11 +97,13 @@ object Bench {
     val rounds = scala.collection.mutable.ArrayBuffer[((Double, Long), (Double, Long))]()
     var clean = 0
     var attempts = 0
+    var maxSteal = 0L
     while (clean < 3 && attempts < 6) {
       val s0 = stealJiffies()
       val r = (measureOnce(levelN), measureOnce(level4N))
       val stealDelta = stealJiffies() - s0
       rounds += r
+      maxSteal = math.max(maxSteal, stealDelta)
       if (stealDelta < 2000L) clean += 1
       else System.err.println(s"[bench] round polluted by steal: $stealDelta jiffies")
       attempts += 1
@@ -116,6 +118,7 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      spark.catalog.clearCache() // drop per-query persist()s between entries
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -128,6 +131,11 @@ object Bench {
         s""""kg_triples_per_sec_local$level4N":${triples / t4N},""" +
         s""""scaling_levels":"local[$levelN] vs local[$level4N]",""" +
         s""""scaling_efficiency":$efficiency,""" +
+        // measurement transparency: if clean < 3 the minima above came
+        // only from steal-polluted rounds — the driver can see that here
+        // instead of parsing stderr
+        s""""scaling_rounds_total":$attempts,"scaling_rounds_clean":$clean,""" +
+        s""""scaling_max_steal_jiffies":$maxSteal,""" +
         s""""sf":"$sfDir"}"""
     // stdout (unwrapped via run/outputStrategy := StdoutOutput) + a file
     // copy, so the driver can parse the line structurally either way

@@ -53,19 +53,59 @@ object Pipeline {
     docs.flatMap(d => SpanParser.parseDoc(d, cols))
   }
 
-  /** U18: UTF-8 validation (CoNLLRDFUpdater.isValidUTF8,
-    * CoNLLRDFUpdater.java:779-789 — the reference aborts on non-UTF-8
-    * input; a streaming 100 TB job filters and counts instead). Malformed
-    * input bytes surface as U+FFFD replacement characters after JVM
-    * decoding; affected documents are dropped and counted in the
-    * `rejected` accumulator (exposed as a metrics row by callers). Narrow
-    * (filter). */
-  def validateUtf8(docs: Dataset[InputDoc], rejected: LongAccumulator): Dataset[InputDoc] =
+  /** U18: UTF-8 validation over the decoded span table (the reference
+    * aborts on non-UTF-8 input — CoNLLRDFUpdater.java:779-789; a streaming
+    * 100 TB job filters and counts instead). Always rejects unpaired
+    * surrogates (genuinely un-encodable); with `rejectReplacementChar` it
+    * ALSO drops docs containing U+FFFD — the reference-parity mode for
+    * inputs where upstream decoding replaced malformed bytes, at the cost
+    * of dropping documents that legitimately contain the replacement
+    * character (ADVICE r2: prefer `isValidUtf8` at the byte-bearing
+    * source, where the two cases are distinguishable).
+    *
+    * `rejected` is incremented inside a filter: Spark's at-least-once
+    * task semantics can over-count it under retries or plan
+    * re-evaluation — a diagnostic alarm (the reference aborts outright on
+    * ANY invalid input), not an exactly-once count. Narrow (filter). */
+  def validateUtf8(
+      docs: Dataset[InputDoc],
+      rejected: LongAccumulator,
+      rejectReplacementChar: Boolean = false): Dataset[InputDoc] =
     docs.filter { d =>
-      val ok = !d.spans.exists(s => s.text.indexOf('\uFFFD') >= 0)
+      val ok = !d.spans.exists(s =>
+        hasUnpairedSurrogate(s.text) ||
+          (rejectReplacementChar && s.text.indexOf('\uFFFD') >= 0))
       if (!ok) rejected.add(1)
       ok
     }
+
+  /** U18, byte layer \u2014 the reference's actual check (CoNLLRDFUpdater
+    * .isValidUTF8, CoNLLRDFUpdater.java:779-789): a strict decoder pass
+    * over the RAW bytes, before any decoding. Byte-bearing sources should
+    * gate on this; once text is a JVM String the information is gone. */
+  def isValidUtf8(bytes: Array[Byte]): Boolean =
+    try {
+      java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes))
+      true
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
+  /** A decoded String fails to BE valid UTF-8 only via unpaired
+    * surrogates (they cannot be encoded). */
+  private def hasUnpairedSurrogate(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return true
+        i += 1
+      } else if (Character.isLowSurrogate(c)) return true
+      i += 1
+    }
+    false
+  }
 
   /** Ingest TTL documents (the CoNLLRDFUpdater's input mode, SURVEY §3.2):
     * (doc_id, ttl text) rows → sentence graphs, chunked at blank lines.

@@ -122,9 +122,12 @@ object PipelineManager {
       case Right(path) => spark.read.parquet(path).as[InputDoc]
     }
     // U18: external input is UTF-8-validated; rejects are counted in the
-    // named accumulator (surfaces in the Spark UI / status API)
+    // named accumulator (surfaces in the Spark UI / status API). The
+    // manager mirrors the reference CLI, which aborts on malformed bytes —
+    // strict mode also drops docs whose upstream decode left U+FFFD.
     val docs = Pipeline.validateUtf8(raw,
-      spark.sparkContext.longAccumulator("utf8_rejected"))
+      spark.sparkContext.longAccumulator("utf8_rejected"),
+      rejectReplacementChar = true)
     val triples = Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates)
     cfg.format match {
       case "conll" => Serializers.toConllTsv(triples.toDF,

@@ -99,15 +99,20 @@ object Serializers {
 
   /** `-conll` column auto-discovery (CoNLLRDFFormatter.java:637-658):
     * scan rdfs:comment literals (comment lines are '\n'-joined per
-    * sentence) for a CoNLL-U Plus `global.columns = ...` line. Bounded
-    * driver-side probe — one tiny job over the pushed-down comment
-    * predicate, not a collect of the data. */
-  def discoverColumns(triples: DataFrame, sample: Int = 1000): Seq[String] = {
+    * sentence) for a CoNLL-U Plus `global.columns = ...` line. One
+    * aggregate over the pushed-down comment predicate — min() makes the
+    * winner DETERMINISTIC when sentences declare conflicting schemas
+    * (the r2 limit(1000) probe was partition-order-dependent), and the
+    * column list splits on whitespace RUNS like the reference's
+    * String.split("\\s+"). */
+  def discoverColumns(triples: DataFrame): Seq[String] = {
     val GC = "^\\s?global\\.columns\\s?=(.*)$".r
-    triples.filter(col("pred") === "rdfs:comment")
-      .select(col("obj")).limit(sample).collect()
-      .iterator.flatMap(_.getString(0).split("\n"))
-      .collectFirst { case GC(rest) => rest.trim.split(" |\t").toSeq }
+    triples.filter(col("pred") === "rdfs:comment" &&
+        col("obj").rlike("(^|\n)\\s?global\\.columns\\s?="))
+      .agg(min(col("obj"))).collect()
+      .iterator.flatMap(r => Option(r.getString(0)).iterator)
+      .flatMap(_.split("\n"))
+      .collectFirst { case GC(rest) => rest.trim.split("\\s+").toSeq }
       .getOrElse(Seq.empty)
   }
 
@@ -118,7 +123,16 @@ object Serializers {
     * Column resolution follows the reference's chain (explicit list >
     * `rdfs:comment global.columns` discovery): pass `cols = Seq.empty`
     * to auto-discover. */
-  def toConllTsv(triples: DataFrame, cols0: Seq[String]): DataFrame = {
+  def toConllTsv(triples: DataFrame, cols0: Seq[String]): DataFrame =
+    conllTsvOrdered(triples, cols0).drop("id_rng")
+
+  /** toConllTsv plus the internal `id_rng` ordering column: token ids pass
+    * through VERBATIM (the reference mints `:s1_1-2` for CoNLL-U multiword
+    * ranges — SpanParser.scala:200-211), so `tok` is the numeric PREFIX of
+    * the id (range row `1-2` shares tok=1 with token `1`) and `id_rng`
+    * breaks the tie CoNLL-U style (range line precedes its first covered
+    * token). The r2 `_([0-9]+)$` extraction silently dropped range rows. */
+  private[conll] def conllTsvOrdered(triples: DataFrame, cols0: Seq[String]): DataFrame = {
     val cols = if (cols0.nonEmpty) cols0 else discoverColumns(triples)
     require(cols.nonEmpty,
       "no columns: pass an explicit list or ingest a corpus with a global.columns comment")
@@ -133,16 +147,21 @@ object Serializers {
       .groupBy(col("doc_id"), col("sent"), col("subj"))
       .pivot("pred", colPreds)
       .agg(array_join(array_sort(collect_list(col("cell"))), "|"))
-    val tok = regexp_extract(col("subj"), "_([0-9]+)$", 1).cast("int")
     val out = pivoted
-      .withColumn("tok", tok)
-      .filter(col("tok") > 0) // drop the sentence node
+      .withColumn("id_str", regexp_extract(col("subj"), "^:s[0-9]+_(.+)$", 1))
+      .filter(col("id_str") =!= "" && col("id_str") =!= "0") // drop the sentence node
+      .withColumn("tok", regexp_extract(col("id_str"), "^([0-9]+)", 1).cast("int"))
+      .filter(col("tok").isNotNull)
+      .withColumn("id_rng",
+        when(col("id_str").contains("-"), 0).otherwise(1))
+      .drop("id_str")
     val renamed = colPreds.zip(cols).foldLeft(out) { case (df, (p, c)) =>
       df.withColumn(c,
         when(col(s"`$p`").isNull || col(s"`$p`") === "", "_").otherwise(col(s"`$p`")))
         .drop(p)
     }
-    renamed.select((Seq(col("doc_id"), col("sent"), col("tok")) ++ cols.map(col)): _*)
+    renamed.select(
+      (Seq(col("doc_id"), col("sent"), col("tok"), col("id_rng")) ++ cols.map(col)): _*)
   }
 
   /** K2 text rendering: one string per document — `# global.columns`
@@ -152,13 +171,13 @@ object Serializers {
     * both with ordered collect — no driver-side loops. */
   def toConllText(triples: DataFrame, cols0: Seq[String]): DataFrame = {
     val cols = if (cols0.nonEmpty) cols0 else discoverColumns(triples)
-    val wide = toConllTsv(triples, cols)
+    val wide = conllTsvOrdered(triples, cols)
     val line = concat_ws("\t", cols.map(col): _*)
     val perSent = wide
       .withColumn("line", line)
       .groupBy(col("doc_id"), col("sent"))
       .agg(array_join(
-        transform(array_sort(collect_list(struct(col("tok"), col("line")))),
+        transform(array_sort(collect_list(struct(col("tok"), col("id_rng"), col("line")))),
           x => x.getField("line")),
         "\n").as("block"))
     perSent

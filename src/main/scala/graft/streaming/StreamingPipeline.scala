@@ -52,14 +52,27 @@ object StreamingPipeline {
   final case class SpanFrag(
       doc_id: String, kind: String, text: String, media_ref: String, offset: Int)
 
+  /** Assembly state: buffered fragments, or a tombstone left behind after
+    * the doc emitted (closed = true) so fragments arriving AFTER doc_end
+    * (out-of-order across micro-batches) are recognized as stragglers and
+    * dropped instead of silently re-opening a document that can never
+    * emit again (ADVICE r2). */
+  final case class AsmState(spans: Seq[Span], closed: Boolean)
+
   /** Stateful cross-batch document assembly: span fragments of one
     * document may arrive across micro-batches; per-doc state buffers them
-    * until the `doc_end` marker (emit + clear) or a processing-time
+    * until the `doc_end` marker (emit + tombstone) or a processing-time
     * timeout (emit what arrived — a truncated doc beats a leaked state
-    * entry at 10^12-doc scale). This is the
-    * `KeyValueGroupedDataset.flatMapGroupsWithState` regime: keyed state,
-    * append output, timeout-driven eviction; downstream parse/rewrite
-    * stay the same narrow transforms as in batch. */
+    * entry at 10^12-doc scale; tombstones evict on the same timeout).
+    * This is the `KeyValueGroupedDataset.flatMapGroupsWithState` regime:
+    * keyed state, append output, timeout-driven eviction; downstream
+    * parse/rewrite stay the same narrow transforms as in batch.
+    *
+    * With `timeoutMs <= 0` (NoTimeout) there is no eviction clock, so no
+    * tombstone can be kept: the ingest contract is then strictly
+    * fragments-before-doc_end per document — stragglers after doc_end are
+    * dropped only if they arrive in the SAME batch; across batches they
+    * would buffer forever. Use a positive timeout in production. */
   def assembleDocs(
       frags: Dataset[SpanFrag],
       timeoutMs: Long = 60000L): Dataset[InputDoc] = {
@@ -72,22 +85,32 @@ object StreamingPipeline {
       if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     frags.groupByKey(_.doc_id)
-      .flatMapGroupsWithState[Seq[Span], InputDoc](OutputMode.Append(), conf) {
+      .flatMapGroupsWithState[AsmState, InputDoc](OutputMode.Append(), conf) {
         case (docId, it, state) =>
           if (state.hasTimedOut) {
-            val spans = state.getOption.getOrElse(Seq.empty)
-            state.remove()
+            val spans = state.getOption.map(_.spans).getOrElse(Seq.empty)
+            state.remove() // truncated-doc emit, or tombstone eviction
             if (spans.nonEmpty) Iterator(InputDoc(docId, spans.sortBy(_.offset)))
             else Iterator.empty
+          } else if (state.getOption.exists(_.closed)) {
+            // stragglers after doc_end: drop, keep the tombstone ticking
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            Iterator.empty
           } else {
-            val all = state.getOption.getOrElse(Seq.empty) ++
+            val all = state.getOption.map(_.spans).getOrElse(Seq.empty) ++
               it.map(f => Span(f.kind, f.text, f.media_ref, f.offset))
             val (ends, rest) = all.partition(_.kind == "doc_end")
             if (ends.nonEmpty) {
-              state.remove()
-              Iterator(InputDoc(docId, rest.sortBy(_.offset)))
+              if (timeoutMs > 0) {
+                state.update(AsmState(Seq.empty, closed = true))
+                state.setTimeoutDuration(timeoutMs)
+              } else state.remove() // NoTimeout: nothing could evict a tombstone
+              // a doc_end with no buffered fragments is a no-op, not an
+              // empty document (ADVICE r2)
+              if (rest.nonEmpty) Iterator(InputDoc(docId, rest.sortBy(_.offset)))
+              else Iterator.empty
             } else {
-              state.update(all)
+              state.update(AsmState(all, closed = false))
               if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
               Iterator.empty
             }

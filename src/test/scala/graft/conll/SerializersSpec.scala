@@ -82,6 +82,25 @@ class SerializersSpec extends AnyFunSuite {
     assert(out.getAs[String]("EDGE") == "_")
   }
 
+  test("K2 export keeps CoNLL-U multiword range-ID rows, in CoNLL-U order") {
+    import spark.implicits._
+    // ids pass through verbatim (:s1_1-2 — SpanParser), and the export
+    // must carry them: the r2 `_([0-9]+)$` tok extraction dropped them
+    val rows = Seq(
+      "1-2\tvamonos\t_\t_\t_",
+      "1\tvamos\tVERB\t0\troot",
+      "2\tnos\tPRON\t1\tobj")
+    val sents = sentences(rows)
+    val t = spark.createDataset(sents.flatMap(s =>
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+    val out = Serializers.toConllTsv(t, cols)
+    assert(out.count() == 3)
+    assert(out.filter($"ID" === "1-2" && $"WORD" === "vamonos").count() == 1)
+    // text sink: range line precedes its first covered token
+    val text = Serializers.toConllText(t, cols).collect().head.getAs[String]("text")
+    assert(text.split("\n").drop(1).toSeq == rows)
+  }
+
   test("-conll column auto-discovery from the global.columns comment (K3 chain)") {
     import spark.implicits._
     // a CoNLL-U Plus doc: the schema travels in the comment, not the call
@@ -105,18 +124,30 @@ class SerializersSpec extends AnyFunSuite {
     assert(text.contains("fox\tNN"))
   }
 
-  test("U18: UTF-8 validation drops replacement-char docs and counts them") {
+  test("U18: UTF-8 validation \u2014 byte layer, surrogates, strict FFFD mode") {
     import spark.implicits._
+    // byte layer: the reference's isValidUTF8 semantics
+    assert(Pipeline.isValidUtf8("fox".getBytes("UTF-8")))
+    assert(!Pipeline.isValidUtf8(Array[Byte](0x66, 0x6f, 0xC3.toByte))) // truncated seq
     // malformed bytes decoded as UTF-8 surface as U+FFFD
-    val bad = new String(Array[Byte](0x66, 0x6f, 0xC3.toByte), "UTF-8") // 'fo' + truncated seq
+    val bad = new String(Array[Byte](0x66, 0x6f, 0xC3.toByte), "UTF-8")
     assert(bad.contains('\uFFFD'))
+    // NOTE: unpaired surrogates cannot even reach the filter — Spark's
+    // UTF8String encoder sanitizes them at Dataset-encode time — which is
+    // exactly why the byte-layer check above is the real gate (ADVICE r2)
     val docs = Seq(
       InputDoc("ok", Seq(Span("token", "1\tx\tNOUN\t0\troot", "", 0))),
-      InputDoc("bad", Seq(Span("token", s"1\t$bad\tNOUN\t0\troot", "", 0)))
+      InputDoc("fffd", Seq(Span("token", s"1\t$bad\tNOUN\t0\troot", "", 0)))
     ).toDS
-    val rejected = spark.sparkContext.longAccumulator("utf8_rejected_test")
-    val kept = Pipeline.validateUtf8(docs, rejected).collect()
-    assert(kept.map(_.doc_id).toSeq == Seq("ok"))
-    assert(rejected.value == 1L)
+    // default: docs legitimately containing U+FFFD are KEPT
+    val r1 = spark.sparkContext.longAccumulator("utf8_rejected_default")
+    val kept1 = Pipeline.validateUtf8(docs, r1).collect()
+    assert(kept1.map(_.doc_id).toSet == Set("ok", "fffd"))
+    assert(r1.value == 0L)
+    // strict reference-parity mode (the CLI manager): FFFD docs drop
+    val r2 = spark.sparkContext.longAccumulator("utf8_rejected_strict")
+    val kept2 = Pipeline.validateUtf8(docs, r2, rejectReplacementChar = true).collect()
+    assert(kept2.map(_.doc_id).toSeq == Seq("ok"))
+    assert(r2.value == 1L)
   }
 }
