@@ -73,4 +73,27 @@ object ContextWindow {
     }
     SentGraph.toSentence(c.sentence.docId, c.sentence.sent, c.sentence.comments, g)
   }
+
+  /** Lookahead mirror of [[pronounAntecedent]] (the reference exposes BOTH
+    * window graphs — CoNLLRDFUpdater.java:131-132): a sentence-initial
+    * pronoun is annotated with the last nsubj surface of the NEAREST
+    * following sentence (within the window) that has one, as
+    * `conll:POSTCEDENT`. */
+  def pronounCataphor(c: SentenceWithContext): Sentence = {
+    val g = SentGraph(c.sentence)
+    val firstWord = g.words.headOption
+    val isPronoun = firstWord.exists(w =>
+      g.objects(w, "conll:UPOS").contains("PRON"))
+    if (isPronoun) {
+      val postcedent = c.lookahead.iterator.flatMap { nxt =>
+        val pg = SentGraph(nxt)
+        pg.pairs("conll:EDGE").collect {
+          case (w, "nsubj", _) => pg.objects(w, "conll:WORD").headOption
+        }.flatten.lastOption
+      }.find(_ => true)
+      postcedent.foreach(a =>
+        g.add(Triple(firstWord.get, "conll:POSTCEDENT", a, oUri = false)))
+    }
+    SentGraph.toSentence(c.sentence.docId, c.sentence.sent, c.sentence.comments, g)
+  }
 }

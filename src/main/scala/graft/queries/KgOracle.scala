@@ -394,6 +394,22 @@ object KgOracle {
     GROUP BY p.doc_id, p.sent
     ORDER BY p.doc_id, sent"""
 
+  /** U14 lookahead-window rule (ContextWindow.pronounCataphor, lookahead
+    * 2): the symmetric mirror — nearest FOLLOWING sentence with an nsubj,
+    * its last nsubj surface. */
+  val contextCataphorSql: String =
+    s"""$detCte, nsubj_last AS (
+      SELECT doc_id, sent, arg_max(word, tid) AS w
+      FROM tok2 WHERE edge = 'nsubj' GROUP BY doc_id, sent)
+    SELECT p.doc_id, CAST(p.sent AS BIGINT) AS sent,
+      ':s' || CAST(p.sent AS VARCHAR) || '_1' AS subj,
+      arg_min(n.w, n.sent) AS postcedent
+    FROM (SELECT doc_id, sent FROM tok2 WHERE tid = 1 AND upos = 'PRON') p
+    JOIN nsubj_last n
+      ON n.doc_id = p.doc_id AND n.sent BETWEEN p.sent + 1 AND p.sent + 2
+    GROUP BY p.doc_id, p.sent
+    ORDER BY p.doc_id, sent"""
+
   /** S7 XML-TSV → powla trees + xAttributes2value over the det XML docs.
     * Per sentence k (1-based): the re-asserted `:x1` doc node (rdf:value
     * folded to `doc id="D"`, x:id kept — xAttributes2value deletes only

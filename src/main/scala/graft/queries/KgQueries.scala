@@ -167,6 +167,20 @@ object KgQueries {
       Some(KgOracle.contextAntecedentSql)
     ),
     Q(
+      // U14, the other direction: lookahead-window context rewriting
+      // (same one-window-shuffle plan; VERDICT r2 item 5).
+      "kg_context_cataphora",
+      (s, dir) => {
+        val ctx = ContextWindow.attach(detParsed(s, dir), lookback = 0, lookahead = 2)
+        val out = ContextWindow.rewriteWithContext(ctx)(ContextWindow.pronounCataphor)
+        Pipeline.triples(out).toDF
+          .filter(col("pred") === "conll:POSTCEDENT")
+          .select(col("doc_id"), col("sent"), col("subj"), col("obj").as("postcedent"))
+          .orderBy(col("doc_id"), col("sent"))
+      },
+      Some(KgOracle.contextCataphorSql)
+    ),
+    Q(
       // S7: XML-TSV source → powla tree triples + xAttributes2value, over
       // the deterministic XML docs (breaking-element flush, re-asserted
       // open elements, document-global xmlId) — driver-hash-checked.
