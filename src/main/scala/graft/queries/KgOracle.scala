@@ -128,6 +128,115 @@ object KgOracle {
   val detXmlCols: Seq[String] = Seq("WORD", "UPOS")
 
   // ------------------------------------------------------------------
+  // Deterministic SR-parse corpus (VERDICT r2 item 1): fixed Penn-POS
+  // sentence patterns whose converged REDUCE output has a closed form.
+  // ------------------------------------------------------------------
+
+  val detParseCols: Seq[String] = Seq("ID", "WORD", "LEMMA", "POS", "HEAD")
+
+  /** Six fixed POS patterns, cycled sentence-by-sentence. Together they
+    * fire EVERY rule of REDUCE-english-{1..4} (ParseScripts):
+    * P0 (3)(4)(8)(9); P1 (4)(6)(8)(9)(10); P2 (6)(7)(8)(10); P3 (1)(8)
+    * (12)(13); P4 (2)(3)(4)(5)(8)(9); P5 (0a)(9)(11) + rule (8) firing in
+    * fixpoint iteration 2. Words come from the document text; only POS
+    * (and the two forced function lemmas) are pattern-fixed. */
+  val parsePos: Vector[Vector[String]] = Vector(
+    Vector("DT", "JJ", "NN", "VBZ", "DT", "NN"),
+    Vector("PRP", "VBZ", "DT", "NN", "IN", "NN"),
+    Vector("NN", "IN", "NN", "VBZ", "RB"),
+    Vector("NN", "NN", "VBZ", "TO", "VB"),
+    Vector("DT", "RB", "JJ", "NN", "VBZ", "CD", "NN"),
+    Vector("NN", "HYPH", "NN", "RB", "VBZ", "NN"))
+
+  /** Forced lemmas — rules (7)/(12)/(13) match on LEMMA literals "of"/
+    * "to"; every other token gets lemma 'l'+word so no corpus word can
+    * collide with those guards. */
+  val parseLemmaForced: Map[(Int, Int), String] = Map((2, 2) -> "of", (3, 4) -> "to")
+
+  /** HAND-DERIVED converged SR output per pattern: tid → (headTid, edge).
+    * Derivation: initialize-SHIFT + REDUCE-english-{1..4} (budgets
+    * {5}{5}{5}{3}, examples/parse-ud.sh:48-51) + REDUCE-to-HEAD applied
+    * statement-by-statement by hand; the traces live in ParseDetSpec.
+    * Tokens absent from the map are the sentence roots (HEAD keeps the
+    * input's 0 → sentence node). Every SHIFT edge is consumed in all six
+    * patterns — the spec asserts that too. */
+  val parseTree: Vector[Map[Int, (Int, String)]] = Vector(
+    Map(1 -> (3, "det"), 2 -> (3, "nmod"), 3 -> (4, "sbj"),
+      5 -> (6, "det"), 6 -> (4, "obj")),
+    Map(1 -> (2, "sbj"), 3 -> (4, "det"), 4 -> (2, "obj"),
+      5 -> (2, "adv"), 6 -> (5, "np")),
+    Map(1 -> (4, "sbj"), 2 -> (1, "nmod"), 3 -> (2, "np"), 5 -> (4, "adv")),
+    Map(1 -> (2, "nmod"), 2 -> (3, "sbj"), 4 -> (3, "to"), 5 -> (4, "cls")),
+    Map(1 -> (4, "det"), 2 -> (3, "amod"), 3 -> (4, "nmod"),
+      4 -> (5, "sbj"), 6 -> (7, "num"), 7 -> (5, "obj")),
+    Map(1 -> (3, "mwe"), 2 -> (1, "hyph"), 3 -> (5, "sbj"),
+      4 -> (5, "adv"), 6 -> (5, "obj")))
+
+  /** Cumulative pattern offsets within one 35-token cycle. */
+  val parseOffsets: Vector[Int] = parsePos.scanLeft(0)(_ + _.length)
+  val parseCycle: Int = parseOffsets.last
+
+  /** Pure per-doc span generator (shared by detParseDocs and the spec):
+    * words are consumed cycle-by-cycle; a sentence is emitted only when
+    * the doc has enough words to COMPLETE it (a truncated pattern would
+    * parse differently), so trailing words are dropped — mirrored by the
+    * sent_end <= nwords guard in the SQL. */
+  def parseSpansFor(words: Array[String]): Seq[Span] = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    var i = 0
+    while (i < words.length) {
+      val c = i / parseCycle
+      val p = i % parseCycle
+      val j = parseOffsets.indexWhere(_ > p) - 1
+      val tid = p - parseOffsets(j) + 1
+      if (c * parseCycle + parseOffsets(j + 1) <= words.length) {
+        if (tid == 1 && off > 0) {
+          spans += Span("sentence_break", "", "", off); off += 1
+        }
+        val w = words(i)
+        val pos = parsePos(j)(tid - 1)
+        val lemma = parseLemmaForced.getOrElse((j, tid), "l" + w)
+        spans += Span("token", s"$tid\t$w\t$lemma\t$pos\t0", "", off)
+        off += 1
+      }
+      i += 1
+    }
+    spans.toSeq
+  }
+
+  /** documents.parquet → deterministic SR-parse span docs. Narrow. */
+  def detParseDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        InputDoc(docId, parseSpansFor(text.split("\\s+")))
+      }
+  }
+
+  /** Final rdf:type concept set per Penn tag after linkPennPosFull →
+    * removeAnnotationModel → inferOliaConcepts, replayed with the SAME
+    * driver-side ontology code the engine broadcasts (the linkSql VALUES
+    * precedent): keep the olia: type inserts, then close over the
+    * GRAPH_OLIA super hierarchy. */
+  def parseTagTypes: Map[String, Seq[String]] = {
+    val links = graft.conll.Ontology.pennLinks(
+      graft.conll.Ontology.miniOlia, graft.conll.Ontology.GRAPH_PENN)
+    val sup = graft.conll.Ontology.superClosure(
+      graft.conll.Ontology.miniOlia, graft.conll.Ontology.GRAPH_OLIA,
+      graft.conll.Ontology.keepOlia)
+    parsePos.flatten.distinct.map { tag =>
+      val direct = for {
+        link <- links if link.matches(tag)
+        (p, o, isUri) <- link.wordInserts
+        if p == "rdf:type" && isUri && o.startsWith("olia:")
+      } yield o
+      tag -> (direct ++ direct.flatMap(c => sup.getOrElse(c, Seq.empty))).distinct
+    }.toMap
+  }
+
+  // ------------------------------------------------------------------
   // DuckDB mirror
   // ------------------------------------------------------------------
 
@@ -301,6 +410,83 @@ object KgOracle {
       UNION ALL SELECT doc_id, sent, $psSubjSql, 'conll:POSsynt_UD', v, FALSE FROM ud1
       UNION ALL SELECT doc_id, sent, $psSubjSql, 'conll:POSsynt_match', v, FALSE FROM mt
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
+
+  /** tok3: the SR-parse det corpus (doc_id, sent, tid, word, lemma, pos,
+    * pat, ntok) — the SQL mirror of parseSpansFor's chunking. */
+  private val parseCte: String = {
+    val offs = parseOffsets
+    val jCase = (0 until 6).map(j => s"WHEN p < ${offs(j + 1)} THEN $j").mkString(" ")
+    val offCase = (0 until 6).map(j => s"WHEN $j THEN ${offs(j)}").mkString(" ")
+    val endCase = (0 until 6).map(j => s"WHEN $j THEN ${offs(j + 1)}").mkString(" ")
+    val lenCase = (0 until 6).map(j => s"WHEN $j THEN ${parsePos(j).length}").mkString(" ")
+    val posCase = {
+      val branches = parsePos.zipWithIndex.map { case (ps, j) =>
+        val inner = ps.zipWithIndex
+          .map { case (pos, t) => s"WHEN ${t + 1} THEN '$pos'" }.mkString(" ")
+        s"WHEN $j THEN CASE tid $inner END"
+      }.mkString(" ")
+      s"CASE pat $branches END"
+    }
+    val lemCase = {
+      val forced = parseLemmaForced.toSeq.sortBy(_._1)
+        .map { case ((j, t), l) => s"WHEN pat = $j AND tid = $t THEN '$l'" }
+        .mkString(" ")
+      s"CASE $forced ELSE 'l' || word END"
+    }
+    s"""WITH ptk AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             (i-1) // $parseCycle AS c, (i-1) % $parseCycle AS p, w AS word, nwords
+      FROM (SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words)+1)) AS i,
+                   CAST(len(words) AS BIGINT) AS nwords
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents) t0) t1
+    ), tok3 AS MATERIALIZED (
+      SELECT doc_id, c*6 + pat + 1 AS sent, tid, word, pat,
+             $posCase AS pos, $lemCase AS lemma,
+             CASE pat $lenCase END AS ntok
+      FROM (
+        SELECT doc_id, word, c, pat, p - (CASE pat $offCase END) + 1 AS tid, nwords,
+               c*$parseCycle + (CASE pat $endCase END) AS sent_end
+        FROM (SELECT doc_id, word, c, p, nwords, CASE $jCase END AS pat FROM ptk) a
+      ) b
+      WHERE sent_end <= nwords
+    )"""
+  }
+
+  /** Full triple table of the converged parse-cascade output: base token
+    * triples + the hand-derived tree (ptree VALUES) + the per-tag OLiA
+    * concept closure (ptypes VALUES). Roots keep the input HEAD 0 → the
+    * sentence node; reduced tokens carry their REDUCE-to-HEAD target and
+    * EDGE label; no conll:ID (remove-ID), no SHIFT/REDUCE leftovers (the
+    * six patterns consume every SHIFT edge — asserted in ParseDetSpec). */
+  def parseSql: String = {
+    val subj = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+    val tSubj = "':s' || CAST(t.sent AS VARCHAR) || '_' || CAST(t.tid AS VARCHAR)"
+    val ptree = parseTree.zipWithIndex.flatMap { case (m, j) =>
+      m.toSeq.sortBy(_._1).map { case (tid, (h, e)) => s"($j, $tid, $h, '$e')" }
+    }.mkString(", ")
+    val ptypes = parseTagTypes.toSeq.sortBy(_._1).flatMap { case (tag, cs) =>
+      cs.sorted.map(c => s"('$tag', '$c')")
+    }.mkString(", ")
+    s"""$parseCte, ptree(pat, tid, head_tid, edge) AS (VALUES $ptree),
+    ptypes(pos, concept) AS (VALUES $ptypes)
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok3
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok3 WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $subj, 'rdf:type', 'nif:Word', TRUE FROM tok3
+      UNION ALL SELECT doc_id, sent, $subj, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok3 WHERE tid < ntok
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:WORD', word, FALSE FROM tok3
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:LEMMA', lemma, FALSE FROM tok3
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:POS', pos, FALSE FROM tok3
+      UNION ALL SELECT t.doc_id, t.sent, $tSubj, 'conll:HEAD',
+        ':s' || CAST(t.sent AS VARCHAR) || '_' || CAST(COALESCE(pt.head_tid, 0) AS VARCHAR), TRUE
+        FROM tok3 t LEFT JOIN ptree pt ON pt.pat = t.pat AND pt.tid = t.tid
+      UNION ALL SELECT t.doc_id, t.sent, $tSubj, 'conll:EDGE', pt.edge, FALSE
+        FROM tok3 t JOIN ptree pt ON pt.pat = t.pat AND pt.tid = t.tid
+      UNION ALL SELECT t.doc_id, t.sent, $tSubj, 'rdf:type', y.concept, TRUE
+        FROM tok3 t JOIN ptypes y ON y.pos = t.pos
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+  }
 
   /** link-ud cascade + fused entity links over the det pipeline. The
     * UPOS→OLiA concept sets are the SAME driver-side ontology closures the

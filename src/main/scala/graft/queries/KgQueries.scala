@@ -44,13 +44,19 @@ object KgQueries {
       Some(KgOracle.analyzeSql)
     ),
     Q(
-      // parse-ud cascade: penn link → SR-parser generations → REDUCE-to-HEAD
-      // (not SQL-expressible; golden-covered on the bundled UD corpus)
+      // parse-ud cascade through the FULL engine (remove-ID → penn link →
+      // olia closure → initialize-SHIFT → REDUCE generations {5}{5}{5}{3}
+      // → REDUCE-to-HEAD) over the deterministic six-pattern POS corpus —
+      // driver-hash-checked against the HAND-DERIVED converged trees
+      // (KgOracle.parseTree; rule-by-rule traces in ParseDetSpec). The
+      // real-corpus SR behavior stays golden-covered in UdGoldenSpec.
       "kg_pipeline_parse",
       (s, dir) => Pipeline.triples(
-        Pipeline.rewrite(Pipeline.parse(docs(s, dir), DocGen.columns),
-          Pipeline.parseCascade)).toDF,
-      None
+        Pipeline.rewrite(
+          Pipeline.parse(KgOracle.detParseDocs(s, dir), KgOracle.detParseCols),
+          Pipeline.parseCascade)).toDF
+        .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj")),
+      Some(KgOracle.parseSql)
     ),
     Q(
       // link-ud cascade + gazetteer entity links. Two narrow passes, no
