@@ -215,6 +215,110 @@ object KgOracle {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Deterministic bracketing corpus (VERDICT r2 item 2): 4-token
+  // sentences with one of two fixed bracket shapes, chosen per sentence
+  // by md5 of its first word. tree2bracket deletes the powla tree, so
+  // the converged output is exactly the CoNLL core + one closed-form
+  // bracket literal per (shape, position).
+  // ------------------------------------------------------------------
+
+  val detBracketCols: Seq[String] = Seq("WORD", "POS", "PARSE")
+  val BRACKET_LEN = 4
+
+  /** Input PARSE cells per shape/position (CoNLLBrackets2RDF cell
+    * conventions: text before '*' opens, after '*' closes).
+    * Shape 0: (S (NP w1 w2) (VP w3 w4)) — sibling subtrees.
+    * Shape 1: (S w1 (NP w2 w3) w4) — words flanking a nested NP. */
+  val bracketCells: Vector[Vector[String]] = Vector(
+    Vector("(S(NP*", "*)", "(VP*", "*))"),
+    Vector("(S*", "(NP*", "*)", "*)"))
+
+  /** HAND-DERIVED tree2bracket reconstruction per shape/position
+    * (stack fold → powla tree → tmp:first/tmp:last → bracket string;
+    * traces in BracketsDetSpec). Each opening "(LABEL " carries a
+    * trailing space, and the word separator adds one more — "(S (NP  *"
+    * has TWO spaces before the star, faithfully (TreesScripts
+    * tree2bracket stage 2; golden-matched on the reference's bundled
+    * sample in TreeSourcesSpec). */
+  val bracketParse: Vector[Vector[String]] = Vector(
+    Vector("(S (NP  *", "* )", "(VP  *", "* ))"),
+    Vector("(S  *", "(NP  *", "* )", "* )"))
+
+  def bracketShapeOf(firstWord: String): Int =
+    if ("01234567".indexOf(md5hex(firstWord).charAt(0)) >= 0) 0 else 1
+
+  /** Pure per-doc span generator (shared by detBracketDocs and the
+    * spec): 4-token sentences, trailing partial sentence dropped. */
+  def bracketSpansFor(words: Array[String]): Seq[Span] = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    val nSents = words.length / BRACKET_LEN
+    for (si <- 0 until nSents) {
+      if (si > 0) { spans += Span("sentence_break", "", "", off); off += 1 }
+      val shape = bracketShapeOf(words(si * BRACKET_LEN))
+      for (t <- 0 until BRACKET_LEN) {
+        val w = words(si * BRACKET_LEN + t)
+        val pos = uposFromHex(md5hex(w).charAt(0))
+        spans += Span("token", s"$w\t$pos\t${bracketCells(shape)(t)}", "", off)
+        off += 1
+      }
+    }
+    spans.toSeq
+  }
+
+  /** documents.parquet → deterministic bracket span docs. Narrow. */
+  def detBracketDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        InputDoc(docId, bracketSpansFor(text.split("\\s+")))
+      }
+  }
+
+  /** Full triple table of the brackets→powla→tree2bracket roundtrip:
+    * CoNLL core (WORD, POS, default HEAD → sentence node — no HEAD
+    * column, CoNLL2RDF.java:154-155) + the closed-form conll:PARSE
+    * bracket literal. */
+  def bracketsSql: String = {
+    val subj = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+    val hex07 = "('0','1','2','3','4','5','6','7')"
+    val parseCase = {
+      val branches = bracketParse.zipWithIndex.map { case (ps, sh) =>
+        val inner = ps.zipWithIndex
+          .map { case (b, t) => s"WHEN ${t + 1} THEN '$b'" }.mkString(" ")
+        s"WHEN $sh THEN CASE tid $inner END"
+      }.mkString(" ")
+      s"CASE shape $branches END"
+    }
+    s"""WITH btk AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             (i-1) // $BRACKET_LEN + 1 AS sent, (i-1) % $BRACKET_LEN + 1 AS tid, w AS word
+      FROM (SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words)+1)) AS i,
+                   CAST(len(words) AS BIGINT) AS nwords
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents) t0) t1
+      WHERE ((i-1) // $BRACKET_LEN + 1) * $BRACKET_LEN <= nwords
+    ), tok4 AS MATERIALIZED (
+      SELECT doc_id, sent, tid, word, ${TextQueries.uposSql} AS pos,
+             CASE WHEN substring(md5(FIRST_VALUE(word) OVER
+               (PARTITION BY doc_id, sent ORDER BY tid)),1,1) IN $hex07
+               THEN 0 ELSE 1 END AS shape
+      FROM btk
+    )
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok4
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok4 WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $subj, 'rdf:type', 'nif:Word', TRUE FROM tok4
+      UNION ALL SELECT doc_id, sent, $subj, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok4 WHERE tid < $BRACKET_LEN
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:WORD', word, FALSE FROM tok4
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:POS', pos, FALSE FROM tok4
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:HEAD', $sentNodeSql, TRUE FROM tok4
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:PARSE', $parseCase, FALSE FROM tok4
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+  }
+
   /** Final rdf:type concept set per Penn tag after linkPennPosFull →
     * removeAnnotationModel → inferOliaConcepts, replayed with the SAME
     * driver-side ontology code the engine broadcasts (the linkSql VALUES

@@ -25,8 +25,6 @@ object KgQueries {
     math.max((sf * 100000).toLong, 100L)
   }
 
-  private def docs(s: SparkSession, dir: String) = DocGen.docs(s, nDocsFor(dir))
-
   /** Parse-only det pipeline triples (shared by the sink entries). */
   private def detParsed(s: SparkSession, dir: String) =
     Pipeline.parse(KgOracle.detDocs(s, dir), KgOracle.detCols)
@@ -215,18 +213,24 @@ object KgQueries {
       Some(KgOracle.countXmlSql)
     ),
     Q(
-      // S8 + trees: brackets source → powla trees → emptyNode2Word →
-      // tree2bracket roundtrip
+      // S8 + trees: brackets source (column auto-detection, '*'-cell
+      // splitting, stack fold, per-doc URI counter) → powla trees →
+      // tree2bracket roundtrip, over the deterministic two-shape corpus —
+      // driver-hash-checked against the closed-form reconstruction
+      // (tree2bracket deletes the tree, so the output is the CoNLL core
+      // + the hand-derived per-(shape, position) bracket literal;
+      // traces in BracketsDetSpec). The bundled bracketing.sample stays
+      // golden-covered in TreeSourcesSpec.
       "kg_brackets_roundtrip",
       (s, dir) => {
         import s.implicits._
-        val cols = Seq("WORD", "POS", "PARSE")
-        val d = DocGen.bracketDocs(s, nDocsFor(dir) / 4)
-        val sents = d.flatMap(x => BracketsParser.parseDoc(x, cols))
+        val sents = KgOracle.detBracketDocs(s, dir)
+          .flatMap(x => BracketsParser.parseDoc(x, KgOracle.detBracketCols))
         Pipeline.triples(Pipeline.rewrite(sents,
           Seq(TreesScripts.tree2bracket -> 1))).toDF
+          .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
-      None
+      Some(KgOracle.bracketsSql)
     )
   )
 }

@@ -13,12 +13,9 @@ class EntrySpec extends AnyFunSuite {
   test("oracleSql keys ⊆ queries keys; names unique") {
     val q = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
-    assert(q.size == 49, s"expected 49 registry entries, got ${q.size}")
-    // round-2 gate: the KG/mm core must be oracle-backed (VERDICT r1 #1)
-    val oracleBacked = SparkEntry.oracleSql.keySet
-    assert(Seq("kg_pipeline_analyze", "kg_eval_possynt", "kg_conll_export",
-      "kg_conll_text", "kg_select_conllu", "kg_select_sentences",
-      "kg_sorted_ntriples", "mm_media_meta", "mm_frame_dups")
-      .forall(oracleBacked.contains))
+    assert(q.size == 50, s"expected 50 registry entries, got ${q.size}")
+    // round-3 gate: EVERY registry entry is oracle-backed (the last two
+    // rows-only paths — SR parse, brackets roundtrip — got det oracles)
+    assert(SparkEntry.oracleSql.keySet == q.keySet)
   }
 }

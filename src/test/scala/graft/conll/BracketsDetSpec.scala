@@ -1,0 +1,91 @@
+package graft.conll
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.KgOracle
+
+/** Hand-derivation gate for the deterministic bracketing corpus
+  * (KgOracle.bracketCells / bracketParse, the kg_brackets_roundtrip
+  * oracle): runs the REAL path (BracketsParser column detection + cell
+  * splitting + stack fold → powla tree → tree2bracket) and asserts the
+  * converged graph equals the closed form TRIPLE FOR TRIPLE.
+  *
+  * Worked trace, shape 0 — cells "(S(NP*" "*)" "(VP*" "*))" re-split to
+  * ["(S","(NP",u1,u2,")","(VP",u3,u4,")",")"] and folded:
+  *   :b1{S} ← push; :b2{NP} parent :b1 ← push; u1,u2 parent :b2 (u1 next
+  *   u2); ")" pops :b2 (lastSibling); :b3{VP}: :b2 powla:next :b3,
+  *   parent :b1; u3,u4 parent :b3; "))" pops :b3, :b1.
+  * tree2bracket: first/last per node (:b1 F :b2 L :b3; :b2 F u1 L u2;
+  * :b3 F u3 L u4); bracket strings walk the tmp:first / tmp:last
+  * ancestor chains depth-ordered → u1 "(S (NP *", u2 "* )", u3
+  * "(VP *", u4 "* ))"; then the whole powla tree is deleted (stages
+  * 3-5), leaving the CoNLL core + the PARSE literals only.
+  */
+class BracketsDetSpec extends AnyFunSuite {
+
+  // two docs of 8 words each, engineered so both shapes occur: shape is
+  // md5(first word of sentence) — "w1" hashes into 0-7 (shape 0) or not
+  private def run(words: Array[String]): Seq[SentGraph] = {
+    val sents = BracketsParser.parseDoc(
+      InputDoc("d1", KgOracle.bracketSpansFor(words)), KgOracle.detBracketCols)
+    sents.map { s =>
+      val g = SentGraph(s)
+      TreesScripts.tree2bracket.run(g, 1)
+      g
+    }
+  }
+
+  private def expectedTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] = {
+    val out = scala.collection.mutable.Set[Triple]()
+    out += Triple(s":s${n}_0", "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", s":s${n}_0", oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ws.length)
+        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:POS",
+        KgOracle.uposFromHex(KgOracle.md5hex(w).charAt(0)), oUri = false)
+      out += Triple(uri, "conll:HEAD", s":s${n}_0", oUri = true) // no HEAD column
+      out += Triple(uri, "conll:PARSE", KgOracle.bracketParse(shape)(idx), oUri = false)
+    }
+    out.toSet
+  }
+
+  test("both shapes occur in the probe vocabulary") {
+    val shapes = (1 to 50).map(i => KgOracle.bracketShapeOf(s"w$i")).toSet
+    assert(shapes == Set(0, 1))
+  }
+
+  for (shape <- 0 to 1) {
+    test(s"shape $shape: converged graph == hand-derived closed form, exactly") {
+      // find a first word selecting this shape; the rest are arbitrary
+      val first = (1 to 100).map(i => s"w$i")
+        .find(w => KgOracle.bracketShapeOf(w) == shape).get
+      val ws = Array(first, "xa", "xb", "xc")
+      val g = run(ws).head
+      val got = g.all.toSet
+      val exp = expectedTriples(1, shape, ws.toSeq)
+      val extra = got -- exp
+      val missing = exp -- got
+      assert(extra.isEmpty && missing.isEmpty,
+        s"\nextra=${extra.toSeq.sortBy(t => (t.s, t.p, t.o)).mkString("\n  ", "\n  ", "")}" +
+          s"\nmissing=${missing.toSeq.sortBy(t => (t.s, t.p, t.o)).mkString("\n  ", "\n  ", "")}")
+    }
+  }
+
+  test("multi-sentence doc: per-doc URI counter leaves no residue; chain intact") {
+    // 9 words → 2 sentences (trailing word dropped)
+    val ws = (1 to 9).map(i => s"w$i").toArray
+    val gs = run(ws)
+    assert(gs.length == 2)
+    val all = gs.zipWithIndex.flatMap { case (g, i) =>
+      val exp = expectedTriples(i + 1, KgOracle.bracketShapeOf(ws(i * 4)),
+        ws.slice(i * 4, i * 4 + 4).toSeq)
+      val got = g.all.toSet
+      (got -- exp) ++ (exp -- got)
+    }
+    assert(all.isEmpty, all.mkString("\n"))
+  }
+}
