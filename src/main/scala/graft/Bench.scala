@@ -113,6 +113,30 @@ object Bench {
     val triples = rounds.head._1._2
     val efficiency = (tN / t4N) / 4.0
 
+    // input-size scaling (VERDICT r2 item 8): same engine, same
+    // parallelism (local[8]), 1/4 the input — triples/sec should hold
+    // ≈flat if the job scales with data volume. The thread levels above
+    // evidence the two-cluster-size criterion; this adds the data axis.
+    val nDocsSmall = nDocs / 4
+    val docsPathSmall = s"/tmp/graft-bench-docs-$nDocsSmall"
+    if (!new java.io.File(docsPathSmall, "_SUCCESS").exists()) {
+      val s = session(32)
+      s.sparkContext.setLogLevel("WARN")
+      import s.implicits._
+      s.range(0, nDocsSmall, 1, 64).map(id => DocGen.genDoc(42L, id))
+        .write.mode("overwrite").parquet(docsPathSmall)
+      s.stop()
+    }
+    val smallRuns = (1 to 2).map { _ =>
+      val s = session(level4N)
+      s.sparkContext.setLogLevel("WARN")
+      val r = kgRun(s, docsPathSmall)
+      s.stop()
+      r
+    }
+    val tSmall = smallRuns.map(_._1).min
+    val triplesSmall = smallRuns.head._2
+
     val spark = session(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
@@ -136,6 +160,10 @@ object Bench {
         // instead of parsing stderr
         s""""scaling_rounds_total":$attempts,"scaling_rounds_clean":$clean,""" +
         s""""scaling_max_steal_jiffies":$maxSteal,""" +
+        s""""kg_docs_small":$nDocsSmall,"kg_triples_small":$triplesSmall,""" +
+        s""""kg_sec_small_local$level4N":$tSmall,""" +
+        s""""kg_triples_per_sec_small_local$level4N":${triplesSmall / tSmall},""" +
+        s""""input_scaling_tps_ratio":${(triples / t4N) / (triplesSmall / tSmall)},""" +
         s""""sf":"$sfDir"}"""
     // stdout (unwrapped via run/outputStrategy := StdoutOutput) + a file
     // copy, so the driver can parse the line structurally either way
