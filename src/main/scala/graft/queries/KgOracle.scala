@@ -134,19 +134,23 @@ object KgOracle {
 
   val detParseCols: Seq[String] = Seq("ID", "WORD", "LEMMA", "POS", "HEAD")
 
-  /** Six fixed POS patterns, cycled sentence-by-sentence. Together they
+  /** Seven fixed POS patterns, cycled sentence-by-sentence. Together they
     * fire EVERY rule of REDUCE-english-{1..4} (ParseScripts):
     * P0 (3)(4)(8)(9); P1 (4)(6)(8)(9)(10); P2 (6)(7)(8)(10); P3 (1)(8)
     * (12)(13); P4 (2)(3)(4)(5)(8)(9); P5 (0a)(9)(11) + rule (8) firing in
-    * fixpoint iteration 2. Words come from the document text; only POS
-    * (and the two forced function lemmas) are pattern-fixed. */
+    * fixpoint iteration 2; P6 is an 8-noun chain that EXHAUSTS rule (1)'s
+    * iteration budget (needs 7, gets the reference's {5}) — oracling the
+    * budget-capped fixpoint and the residual conll:SHIFT edges it leaves.
+    * Words come from the document text; only POS (and the two forced
+    * function lemmas) are pattern-fixed. */
   val parsePos: Vector[Vector[String]] = Vector(
     Vector("DT", "JJ", "NN", "VBZ", "DT", "NN"),
     Vector("PRP", "VBZ", "DT", "NN", "IN", "NN"),
     Vector("NN", "IN", "NN", "VBZ", "RB"),
     Vector("NN", "NN", "VBZ", "TO", "VB"),
     Vector("DT", "RB", "JJ", "NN", "VBZ", "CD", "NN"),
-    Vector("NN", "HYPH", "NN", "RB", "VBZ", "NN"))
+    Vector("NN", "HYPH", "NN", "RB", "VBZ", "NN"),
+    Vector("NN", "NN", "NN", "NN", "NN", "NN", "NN", "NN", "VBZ", "NN"))
 
   /** Forced lemmas — rules (7)/(12)/(13) match on LEMMA literals "of"/
     * "to"; every other token gets lemma 'l'+word so no corpus word can
@@ -157,9 +161,9 @@ object KgOracle {
     * Derivation: initialize-SHIFT + REDUCE-english-{1..4} (budgets
     * {5}{5}{5}{3}, examples/parse-ud.sh:48-51) + REDUCE-to-HEAD applied
     * statement-by-statement by hand; the traces live in ParseDetSpec.
-    * Tokens absent from the map are the sentence roots (HEAD keeps the
-    * input's 0 → sentence node). Every SHIFT edge is consumed in all six
-    * patterns — the spec asserts that too. */
+    * Tokens absent from the map keep the input HEAD 0 → sentence node:
+    * the roots of P0–P5, and P6's tokens 1/2/8/9 stranded when the budget
+    * runs out. */
   val parseTree: Vector[Map[Int, (Int, String)]] = Vector(
     Map(1 -> (3, "det"), 2 -> (3, "nmod"), 3 -> (4, "sbj"),
       5 -> (6, "det"), 6 -> (4, "obj")),
@@ -170,7 +174,21 @@ object KgOracle {
     Map(1 -> (4, "det"), 2 -> (3, "amod"), 3 -> (4, "nmod"),
       4 -> (5, "sbj"), 6 -> (7, "num"), 7 -> (5, "obj")),
     Map(1 -> (3, "mwe"), 2 -> (1, "hyph"), 3 -> (5, "sbj"),
-      4 -> (5, "adv"), 6 -> (5, "obj")))
+      4 -> (5, "adv"), 6 -> (5, "obj")),
+    // P6: rule (1) collapses one noun per iteration from the right
+    // (only the pair whose head's successor is non-noun matches); 5
+    // iterations reduce tokens 7,6,5,4,3 onto 8, then the budget stops
+    // the fixpoint. Rule (8) is blocked forever (token 8's SHIFT
+    // predecessor 2 is a Noun — the npClasses guard); rule (9) takes
+    // the object.
+    Map(3 -> (8, "nmod"), 4 -> (8, "nmod"), 5 -> (8, "nmod"),
+      6 -> (8, "nmod"), 7 -> (8, "nmod"), 10 -> (9, "obj")))
+
+  /** Residual conll:SHIFT edges per pattern — what the budget-capped
+    * cascade leaves unconsumed (P0–P5: none; P6: the stranded chain). */
+  val parseShiftLeft: Vector[Seq[(Int, Int)]] = Vector(
+    Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+    Seq(1 -> 2, 2 -> 8, 8 -> 9))
 
   /** Cumulative pattern offsets within one 35-token cycle. */
   val parseOffsets: Vector[Int] = parsePos.scanLeft(0)(_ + _.length)
@@ -519,10 +537,11 @@ object KgOracle {
     * pat, ntok) — the SQL mirror of parseSpansFor's chunking. */
   private val parseCte: String = {
     val offs = parseOffsets
-    val jCase = (0 until 6).map(j => s"WHEN p < ${offs(j + 1)} THEN $j").mkString(" ")
-    val offCase = (0 until 6).map(j => s"WHEN $j THEN ${offs(j)}").mkString(" ")
-    val endCase = (0 until 6).map(j => s"WHEN $j THEN ${offs(j + 1)}").mkString(" ")
-    val lenCase = (0 until 6).map(j => s"WHEN $j THEN ${parsePos(j).length}").mkString(" ")
+    val ps = parsePos.indices
+    val jCase = ps.map(j => s"WHEN p < ${offs(j + 1)} THEN $j").mkString(" ")
+    val offCase = ps.map(j => s"WHEN $j THEN ${offs(j)}").mkString(" ")
+    val endCase = ps.map(j => s"WHEN $j THEN ${offs(j + 1)}").mkString(" ")
+    val lenCase = ps.map(j => s"WHEN $j THEN ${parsePos(j).length}").mkString(" ")
     val posCase = {
       val branches = parsePos.zipWithIndex.map { case (ps, j) =>
         val inner = ps.zipWithIndex
@@ -545,7 +564,7 @@ object KgOracle {
                    CAST(len(words) AS BIGINT) AS nwords
             FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents) t0) t1
     ), tok3 AS MATERIALIZED (
-      SELECT doc_id, c*6 + pat + 1 AS sent, tid, word, pat,
+      SELECT doc_id, c*${parsePos.length} + pat + 1 AS sent, tid, word, pat,
              $posCase AS pos, $lemCase AS lemma,
              CASE pat $lenCase END AS ntok
       FROM (
@@ -572,8 +591,12 @@ object KgOracle {
     val ptypes = parseTagTypes.toSeq.sortBy(_._1).flatMap { case (tag, cs) =>
       cs.sorted.map(c => s"('$tag', '$c')")
     }.mkString(", ")
+    val pshift = parseShiftLeft.zipWithIndex.flatMap { case (es, j) =>
+      es.map { case (f, t) => s"($j, $f, $t)" }
+    }.mkString(", ")
     s"""$parseCte, ptree(pat, tid, head_tid, edge) AS (VALUES $ptree),
-    ptypes(pos, concept) AS (VALUES $ptypes)
+    ptypes(pos, concept) AS (VALUES $ptypes),
+    pshift(pat, from_tid, to_tid) AS (VALUES $pshift)
     SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
       SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok3
       UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok3 WHERE sent > 1
@@ -589,6 +612,9 @@ object KgOracle {
         FROM tok3 t JOIN ptree pt ON pt.pat = t.pat AND pt.tid = t.tid
       UNION ALL SELECT t.doc_id, t.sent, $tSubj, 'rdf:type', y.concept, TRUE
         FROM tok3 t JOIN ptypes y ON y.pos = t.pos
+      UNION ALL SELECT t.doc_id, t.sent, $tSubj, 'conll:SHIFT',
+        ':s' || CAST(t.sent AS VARCHAR) || '_' || CAST(sh.to_tid AS VARCHAR), TRUE
+        FROM tok3 t JOIN pshift sh ON sh.pat = t.pat AND sh.from_tid = t.tid
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
   }
 

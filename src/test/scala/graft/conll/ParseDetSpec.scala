@@ -7,9 +7,16 @@ import graft.queries.KgOracle
   * (KgOracle.parsePos / parseTree, the kg_pipeline_parse oracle): runs
   * the REAL parse cascade (Pipeline.parseCascade — remove-ID, penn link,
   * olia closure, initialize-SHIFT, REDUCE-english-{1..4} at the
-  * reference budgets {5}{5}{5}{3}, REDUCE-to-HEAD) over one 35-word doc
-  * holding one sentence per pattern, and asserts the converged graph
+  * reference budgets {5}{5}{5}{3}, REDUCE-to-HEAD) over one full-cycle
+  * doc holding one sentence per pattern, and asserts the converged graph
   * equals, TRIPLE FOR TRIPLE, the closed form the DuckDB oracle encodes.
+  *
+  * P6 (8-noun chain) exercises the BUDGET CAP: rule (1) reduces exactly
+  * one noun per iteration (only the pair whose head's successor is
+  * non-noun matches its guard), needs 7 iterations, gets {5} — tokens
+  * 7..3 reduce onto 8, tokens 1/2 strand with residual SHIFT edges, and
+  * rule (8) stays blocked by the npClasses guard (token 8's SHIFT
+  * predecessor is a Noun).
   *
   * The parseTree table was derived BY HAND from ParseScripts /
   * examples/sparql/parse/REDUCE-english-{1..4}.sparql, statement by
@@ -34,8 +41,8 @@ class ParseDetSpec extends AnyFunSuite {
     g
   }
 
-  test("one full cycle yields six sentences, one per pattern") {
-    assert(sents.length == 6)
+  test("one full cycle yields one sentence per pattern") {
+    assert(sents.length == KgOracle.parsePos.length)
     assert(sents.map(_.triples.count(_.p == "conll:WORD")) ==
       KgOracle.parsePos.map(_.length))
   }
@@ -74,10 +81,13 @@ class ParseDetSpec extends AnyFunSuite {
       }
       types(pos).foreach(c => out += Triple(uri, "rdf:type", c, oUri = true))
     }
+    // budget-capped fixpoints strand SHIFT edges (P6)
+    for ((f, t) <- KgOracle.parseShiftLeft(j))
+      out += Triple(s":s${n}_$f", "conll:SHIFT", s":s${n}_$t", oUri = true)
     out.toSet
   }
 
-  for (j <- 0 until 6) {
+  for (j <- KgOracle.parsePos.indices) {
     test(s"pattern P$j: converged graph == hand-derived closed form, exactly") {
       val ws = words.slice(KgOracle.parseOffsets(j), KgOracle.parseOffsets(j + 1)).toSeq
       val got = outGraphs(j).all.toSet
