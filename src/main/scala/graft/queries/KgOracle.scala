@@ -127,6 +127,45 @@ object KgOracle {
 
   val detXmlCols: Seq[String] = Seq("WORD", "UPOS")
 
+  /** Position of the `<g/>` glue marker in the glue corpus (after the
+    * 8th token of every sentence — SketchEngine emits `<g/>` between
+    * tokens that had no whitespace; XMLTSV2RDF turns it into a childless
+    * powla:Node, the emptyNode2Word trigger). */
+  val GLUE_AT = 8
+
+  /** detXmlDocs variant for the emptyNode2Word path: same
+    * SketchEngine-shaped docs plus one self-closing `<g/>` after token
+    * GLUE_AT of each sentence. Trailing partial sentences are DROPPED
+    * (only complete SENT_LEN-token sentences are emitted) so the spliced
+    * chain has a single closed form — mirrored by the ntok guard in the
+    * SQL. */
+  def detXmlGlueDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        val words = text.split("\\s+")
+        val nSents = words.length / SENT_LEN
+        val spans = scala.collection.mutable.ArrayBuffer[Span]()
+        var off = 0
+        def add(kind: String, t: String): Unit = {
+          spans += Span(kind, t, "", off); off += 1
+        }
+        add("markup", s"""<doc id="$docId">""")
+        for (k <- 0 until nSents) {
+          add("markup", "<s>")
+          for (t <- 0 until SENT_LEN) {
+            val w = words(k * SENT_LEN + t)
+            add("token", s"$w\t${uposFromHex(md5hex(w).charAt(0))}")
+            if (t + 1 == GLUE_AT) add("markup", "<g/>")
+          }
+          add("markup", "</s>")
+        }
+        add("markup", "</doc>")
+        InputDoc(docId, spans.toSeq)
+      }
+  }
+
   // ------------------------------------------------------------------
   // Deterministic SR-parse corpus (VERDICT r2 item 1): fixed Penn-POS
   // sentence patterns whose converged REDUCE output has a closed form.
@@ -754,6 +793,57 @@ object KgOracle {
       UNION ALL SELECT DISTINCT doc_id, sent, ':x' || CAST(sent + 1 AS VARCHAR), 'rdf:value', 's', FALSE FROM tok2
       UNION ALL SELECT DISTINCT doc_id, sent, ':x' || CAST(sent + 1 AS VARCHAR), 'powla:hasParent', ':x1', TRUE FROM tok2
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
+
+  /** S7 + trees/emptyNode2Word over the glue corpus: the `<g/>` marker
+    * is a childless powla:Node, so emptyNode2Word materializes
+    * `:x{2k+1}_word` (empty conll:WORD), splices it into the
+    * nif:nextWord chain at the glue position (only the (t8, t9) pair
+    * satisfies the precedes-path guards — trace in XmlGlueDetSpec), and
+    * defaults its HEAD to the sentence node via the chain-walk HEAD+
+    * closure. Node ids: doc = 1 (re-asserted per sentence), s_k = 2k,
+    * g_k = 2k+1 (the self-closing glue increments the document-global
+    * counter). */
+  def xmltsvEmptySql: String = {
+    val sNode = "':x' || CAST(2*sent AS VARCHAR)"
+    val gNode = "':x' || CAST(2*sent + 1 AS VARCHAR)"
+    val gWord = "':x' || CAST(2*sent + 1 AS VARCHAR) || '_word'"
+    val nextTid = s"':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR)"
+    val afterGlue = s"':s' || CAST(sent AS VARCHAR) || '_' || CAST($GLUE_AT + 1 AS VARCHAR)"
+    s"""$detCte, tok2f AS (SELECT * FROM tok2 WHERE ntok = $SENT_LEN)
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok2f WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $subjSql, 'rdf:type', 'nif:Word', TRUE FROM tok2f
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:WORD', word, FALSE FROM tok2f
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:UPOS', upos, FALSE FROM tok2f
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:HEAD', $sentNodeSql, TRUE FROM tok2f
+      UNION ALL SELECT doc_id, sent, $subjSql, 'nif:nextWord',
+        CASE WHEN tid = $GLUE_AT THEN $gWord ELSE $nextTid END, TRUE
+        FROM tok2f WHERE tid < $SENT_LEN
+      UNION ALL SELECT DISTINCT doc_id, sent, $gWord, 'nif:nextWord', $afterGlue, TRUE FROM tok2f
+      UNION ALL SELECT doc_id, sent, $subjSql, 'powla:hasParent', $sNode, TRUE FROM tok2f
+      UNION ALL SELECT doc_id, sent, $subjSql, 'powla:next',
+        CASE WHEN tid = $GLUE_AT THEN $gNode ELSE $nextTid END, TRUE
+        FROM tok2f WHERE tid < $SENT_LEN
+      UNION ALL SELECT DISTINCT doc_id, sent, $gNode, 'powla:next', $afterGlue, TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'rdf:type', 'powla:Node', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'rdf:type', 'conll:XML_DATA', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'rdf:value', 'doc', FALSE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, ':x1', 'x:id', doc_id, FALSE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $sNode, 'rdf:type', 'powla:Node', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $sNode, 'rdf:type', 'conll:XML_DATA', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $sNode, 'rdf:value', 's', FALSE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $sNode, 'powla:hasParent', ':x1', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gNode, 'rdf:type', 'powla:Node', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gNode, 'rdf:type', 'conll:XML_DATA', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gNode, 'rdf:value', 'g', FALSE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gNode, 'powla:hasParent', $sNode, TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gWord, 'rdf:type', 'nif:Word', TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gWord, 'conll:WORD', '', FALSE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gWord, 'powla:hasParent', $gNode, TRUE FROM tok2f
+      UNION ALL SELECT DISTINCT doc_id, sent, $gWord, 'conll:HEAD', $sentNodeSql, TRUE FROM tok2f
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+  }
 
   /** count_xml_triples.sparql over the det XML path: 2 conll:XML_DATA
     * nodes (doc + s) per sentence graph. */

@@ -202,6 +202,23 @@ object KgQueries {
       Some(KgOracle.xmltsvSql)
     ),
     Q(
+      // S7 + trees/emptyNode2Word: SketchEngine `<g/>` glue markers
+      // become childless powla nodes; the script materializes empty
+      // nif:Words, splices them into the nextWord chain at the glue
+      // position, and defaults their HEAD via the chain-walk closure —
+      // driver-hash-checked against the closed form (XmlGlueDetSpec).
+      "kg_xmltsv_emptyword",
+      (s, dir) => {
+        import s.implicits._
+        val sents = KgOracle.detXmlGlueDocs(s, dir)
+          .flatMap(x => XmlTsvParser.parseDoc(x, KgOracle.detXmlCols))
+        Pipeline.triples(Pipeline.rewrite(sents,
+          Seq(TreesScripts.emptyNode2Word -> 1))).toDF
+          .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.xmltsvEmptySql)
+    ),
+    Q(
       // K3: count_xml_triples.sparql over the det powla path.
       "kg_count_xml",
       (s, dir) => {
