@@ -52,6 +52,22 @@ object StreamingPipeline {
   final case class SpanFrag(
       doc_id: String, kind: String, text: String, media_ref: String, offset: Int)
 
+  /** Streaming exact dedup — the q20 modality on an unbounded ingest:
+    * documents are fingerprinted (md5 over whitespace-normalized
+    * lowercase text, q27's scheme) and duplicates are dropped EXACTLY
+    * within the watermark horizon via dropDuplicatesWithinWatermark.
+    * State is bounded by the horizon; a full-history distinct would
+    * accumulate O(corpus) state — at 10^12 docs the horizon IS the
+    * contract (cross-horizon dups belong to the batch dedup pass).
+    * Expects (doc_id, text, ts) rows. */
+  def streamDedup(docs: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .withColumn("fingerprint",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Assembly state: buffered fragments, or a tombstone left behind after
     * the doc emitted (closed = true) so fragments arriving AFTER doc_end
     * (out-of-order across micro-batches) are recognized as stragglers and

@@ -87,6 +87,35 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming: exact dedup within the watermark horizon") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val deduped = StreamingPipeline.streamDedup(
+      input.toDF.toDF("doc_id", "text", "ts"))
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      // d1/d3 share normalized content ("a  b" ≡ "A b"); d2 is distinct
+      input.addData(("d1", "a  b", t0), ("d2", "c", t0), ("d3", "A b", t0))
+      q.processAllAvailable()
+      // a later batch re-sends the same content inside the horizon
+      input.addData(("d4", "a b", t0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream")
+      assert(got.count() == 2) // one survivor per distinct fingerprint
+      assert(got.select("fingerprint").distinct().count() == 2)
+      // equals the batch-dedup survivor count on the same rows
+      val batch = Seq(("d1", "a  b", t0), ("d2", "c", t0), ("d3", "A b", t0),
+        ("d4", "a b", t0)).toDF("doc_id", "text", "ts")
+        .select(md5(trim(regexp_replace(lower($"text"), "\\s+", " ")).cast("binary")))
+        .distinct().count()
+      assert(batch == 2)
+    } finally q.stop()
+  }
+
   test("streaming: watermarked windowed event counts") {
     val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
     val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
