@@ -128,12 +128,32 @@ object PipelineManager {
     val docs = Pipeline.validateUtf8(raw,
       spark.sparkContext.longAccumulator("utf8_rejected"),
       rejectReplacementChar = true)
-    val triples = Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates)
     cfg.format match {
-      case "conll" => Serializers.toConllTsv(triples.toDF,
+      case "conll" => Serializers.toConllTsv(
+        Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates).toDF,
         if (cfg.formatColumns.nonEmpty) cfg.formatColumns else cfg.columns)
-      case "ntriples" => Serializers.toSortedNTriples(triples).toDF("line")
-      case _ => triples.toDF
+      case "ntriples" => Serializers.toSortedNTriples(
+        Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates))
+        .toDF("line")
+      // K5/K6 diagnostics: per-sentence renderers, narrow map
+      case "dot" | "grammar" | "debug" =>
+        val sents = Pipeline.rewrite(Pipeline.parse(docs, cfg.columns), cfg.updates)
+        val outCols =
+          if (cfg.formatColumns.nonEmpty) cfg.formatColumns else cfg.columns
+        cfg.format match {
+          case "dot" =>
+            sents.map(s => (s.docId, s.sent, Viz.toDot(s)))
+              .toDF("doc_id", "sent", "dot")
+          case "grammar" =>
+            sents.map(s => (s.docId, s.sent, Viz.asciiTree(s)))
+              .toDF("doc_id", "sent", "grammar")
+          case _ =>
+            sents.map(s => (s.docId, s.sent,
+                Viz.colorTtl(Serializers.toCanonicalTtl(s, outCols))))
+              .toDF("doc_id", "sent", "ttl_ansi")
+        }
+      case _ =>
+        Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates).toDF
     }
   }
 }
