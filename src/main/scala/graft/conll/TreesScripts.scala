@@ -34,12 +34,18 @@ object TreesScripts {
     closure(start, step) + start
 
   /** `(powla:hasParent|powla:next)* / powla:next / (^powla:hasParent|powla:next)*`
-    * (emptyNode2Word.sparql:33-35) — "a precedes b" over the tree. */
-  private def precedes(g: SentGraph, a: String): Set[String] = {
+    * (emptyNode2Word.sparql:33-35) — "a precedes b" over the tree.
+    * `down` memoizes the per-node (^hasParent|next)* closures: prec() is
+    * called once per nextWord pair per sentence, and without the memo
+    * each call rebuilds the same down-closures (O(n³) per sentence on a
+    * linear chain — the dominant cost of the emptyNode2Word entry). */
+  private def precedes(
+      g: SentGraph, a: String,
+      down: mutable.HashMap[String, Set[String]]): Set[String] = {
     val up = closureWithStart(a, x => g.objects(x, HAS_PARENT) ++ g.objects(x, NEXT))
     val afterNext = up.flatMap(x => g.objects(x, NEXT))
-    afterNext.flatMap(x =>
-      closureWithStart(x, y => g.subjects(HAS_PARENT, y) ++ g.objects(y, NEXT)))
+    afterNext.flatMap(x => down.getOrElseUpdate(x,
+      closureWithStart(x, y => g.subjects(HAS_PARENT, y) ++ g.objects(y, NEXT))))
   }
 
   /** trees/xAttributes2value.sparql — fold x:* attributes into rdf:value. */
@@ -81,8 +87,9 @@ object TreesScripts {
     stage { (g, out) =>
       val empties = g.subjects(conll("WORD"), "")
       if (empties.nonEmpty) {
+        val down = mutable.HashMap[String, Set[String]]()
         val cache = mutable.HashMap[String, Set[String]]()
-        def prec(a: String) = cache.getOrElseUpdate(a, precedes(g, a))
+        def prec(a: String) = cache.getOrElseUpdate(a, precedes(g, a, down))
         for ((last, next, _) <- g.pairs(NEXT_WORD); e <- empties
              if prec(last).contains(e) && prec(e).contains(next)) {
           out.del(last, NEXT_WORD, next)
@@ -93,19 +100,21 @@ object TreesScripts {
     },
     // (2a) initial empties → first word (literal `?first a conll:WORD`)
     stage { (g, out) =>
+      val down = mutable.HashMap[String, Set[String]]()
       for (e <- g.subjects(conll("WORD"), "")
            if g.subjects(NEXT_WORD, e).isEmpty && g.objects(e, NEXT_WORD).isEmpty;
-           first <- precedes(g, e)
+           first <- precedes(g, e, down)
            if g.has(first, A, "conll:WORD") && g.objects(first, NEXT_WORD).nonEmpty &&
              g.subjects(NEXT_WORD, first).isEmpty)
         out.insUri(e, NEXT_WORD, first)
     },
     // (2b) remaining empties ← last word (literal `?last a conll:WORD`)
     stage { (g, out) =>
+      val down = mutable.HashMap[String, Set[String]]()
       for (e <- g.subjects(conll("WORD"), "")
            if g.subjects(NEXT_WORD, e).isEmpty && g.objects(e, NEXT_WORD).isEmpty;
            last <- g.all.collect { case t if t.p == A && t.o == "conll:WORD" => t.s }
-           if precedes(g, last).contains(e) &&
+           if precedes(g, last, down).contains(e) &&
              g.subjects(NEXT_WORD, last).nonEmpty && g.objects(last, NEXT_WORD).isEmpty)
         out.insUri(last, NEXT_WORD, e)
     },
