@@ -51,6 +51,79 @@ object DedupQueries {
     s"SELECT doc_id, $cols FROM sh GROUP BY doc_id"
   }
 
+  /** LSH-verified near-dup pairs (the q22 computation) — shared by q22
+    * (the pair listing) and q34 (cluster resolution). Scale notes on the
+    * persist + bucket cap in the q22 entry comment. */
+  private def lshJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mh = minhashDf(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until 8).map(j =>
+      mh.select($"doc_id", lit(j).as("band"), col(s"mh$j").as("bucket")))
+    val wB = Window.partitionBy($"band", $"bucket")
+    val banded = bands.reduce(_ unionByName _)
+      .withColumn("bn", count(lit(1)).over(wB))
+      .filter($"bn" <= 100)
+      .drop("bn")
+    val candidates = banded
+      .alias("l").join(banded.alias("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .distinct()
+    val sets = shingles(s, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sets.select($"doc_id".as("a"), $"shingle"), "a")
+      .join(sets.select($"doc_id".as("b"), $"shingle".as("sh2")), "b")
+      .filter($"shingle" === $"sh2")
+      .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+    candidates
+      .join(inter, Seq("a", "b"), "left_outer")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
+      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .withColumn("jaccard",
+        round($"inter" / ($"na" + $"nb" - $"inter"), 6))
+      .select($"a", $"b", $"inter", $"jaccard")
+  }
+
+  /** The same pairs as a DuckDB CTE chain ending in `dup_pairs`. */
+  private val lshPairsCte: String =
+    s"""$shinglesCte, mh AS ($minhashSelect),
+    bands AS (
+      SELECT doc_id, 0 AS band, mh0 AS bucket FROM mh
+      UNION ALL SELECT doc_id, 1, mh1 FROM mh
+      UNION ALL SELECT doc_id, 2, mh2 FROM mh
+      UNION ALL SELECT doc_id, 3, mh3 FROM mh
+      UNION ALL SELECT doc_id, 4, mh4 FROM mh
+      UNION ALL SELECT doc_id, 5, mh5 FROM mh
+      UNION ALL SELECT doc_id, 6, mh6 FROM mh
+      UNION ALL SELECT doc_id, 7, mh7 FROM mh),
+    bandsf AS (
+      SELECT doc_id, band, bucket FROM (
+        SELECT doc_id, band, bucket,
+               COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+        FROM bands) b WHERE bn <= 100),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bandsf l
+      JOIN bandsf r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+    dsets AS (SELECT DISTINCT doc_id, shingle FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsets GROUP BY doc_id),
+    inter AS (
+      SELECT c.a, c.b, COUNT(*) AS inter FROM cand c
+      JOIN dsets x ON x.doc_id = c.a
+      JOIN dsets y ON y.doc_id = c.b AND y.shingle = x.shingle
+      GROUP BY c.a, c.b),
+    dup_pairs AS (
+      SELECT c.a, c.b, COALESCE(i.inter, 0) AS inter,
+        ROUND(COALESCE(i.inter, 0) / (sa.n + sb.n - COALESCE(i.inter, 0)), 6) AS jaccard
+      FROM cand c
+      LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+      JOIN sizes sa ON sa.doc_id = c.a
+      JOIN sizes sb ON sb.doc_id = c.b)"""
+
   val all: Seq[Q] = Seq(
     Q(
       // Exact dedup: content-hash grouping; group_size > 1 = duplicate set.
@@ -88,71 +161,34 @@ object DedupQueries {
       "q22_lsh_jaccard",
       (s, dir) => {
         import s.implicits._
-        val mh = minhashDf(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val bands = (0 until 8).map(j =>
-          mh.select($"doc_id", lit(j).as("band"), col(s"mh$j").as("bucket")))
-        val wB = Window.partitionBy($"band", $"bucket")
-        val banded = bands.reduce(_ unionByName _)
-          .withColumn("bn", count(lit(1)).over(wB))
-          .filter($"bn" <= 100)
-          .drop("bn")
-        val candidates = banded
-          .alias("l").join(banded.alias("r"),
-            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
-              col("l.doc_id") < col("r.doc_id"))
-          .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-          .distinct()
-        val sets = shingles(s, dir).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val inter = candidates
-          .join(sets.select($"doc_id".as("a"), $"shingle"), "a")
-          .join(sets.select($"doc_id".as("b"), $"shingle".as("sh2")), "b")
-          .filter($"shingle" === $"sh2")
-          .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
-        candidates
-          .join(inter, Seq("a", "b"), "left_outer")
-          .na.fill(0L, Seq("inter"))
-          .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
-          .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
-          .withColumn("jaccard",
-            round($"inter" / ($"na" + $"nb" - $"inter"), 6))
-          .select($"a", $"b", $"inter", $"jaccard")
-          .orderBy($"a", $"b")
+        lshJaccardPairs(s, dir).orderBy($"a", $"b")
       },
-      Some(s"""$shinglesCte, mh AS ($minhashSelect),
-        bands AS (
-          SELECT doc_id, 0 AS band, mh0 AS bucket FROM mh
-          UNION ALL SELECT doc_id, 1, mh1 FROM mh
-          UNION ALL SELECT doc_id, 2, mh2 FROM mh
-          UNION ALL SELECT doc_id, 3, mh3 FROM mh
-          UNION ALL SELECT doc_id, 4, mh4 FROM mh
-          UNION ALL SELECT doc_id, 5, mh5 FROM mh
-          UNION ALL SELECT doc_id, 6, mh6 FROM mh
-          UNION ALL SELECT doc_id, 7, mh7 FROM mh),
-        bandsf AS (
-          SELECT doc_id, band, bucket FROM (
-            SELECT doc_id, band, bucket,
-                   COUNT(*) OVER (PARTITION BY band, bucket) AS bn
-            FROM bands) b WHERE bn <= 100),
-        cand AS (
-          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b FROM bandsf l
-          JOIN bandsf r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-        dsets AS (SELECT DISTINCT doc_id, shingle FROM sh),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM dsets GROUP BY doc_id),
-        inter AS (
-          SELECT c.a, c.b, COUNT(*) AS inter FROM cand c
-          JOIN dsets x ON x.doc_id = c.a
-          JOIN dsets y ON y.doc_id = c.b AND y.shingle = x.shingle
-          GROUP BY c.a, c.b)
-        SELECT c.a, c.b, COALESCE(i.inter, 0) AS inter,
-          ROUND(COALESCE(i.inter, 0) / (sa.n + sb.n - COALESCE(i.inter, 0)), 6) AS jaccard
-        FROM cand c
-        LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
-        JOIN sizes sa ON sa.doc_id = c.a
-        JOIN sizes sb ON sb.doc_id = c.b
-        ORDER BY c.a, c.b""")
+      Some(s"$lshPairsCte SELECT a, b, inter, jaccard FROM dup_pairs ORDER BY a, b")
+    ),
+    Q(
+      // Dedup RESOLUTION — what a pipeline runs AFTER pair finding: the
+      // LSH-verified near-dup pairs (exact Jaccard >= 0.5) resolved into
+      // clusters via distributed min-label connected components;
+      // component = min doc_id = the canonical survivor per cluster.
+      // Same scale shape as q19: short-diameter sameness graph, one
+      // shuffle per propagation round.
+      "q34_dup_clusters",
+      (s, dir) => {
+        import s.implicits._
+        val edges = lshJaccardPairs(s, dir)
+          .filter($"jaccard" >= 0.5)
+          .select($"a".as("src"), $"b".as("dst"))
+        graft.operators.ConnectedComponents.run(s, edges).orderBy($"node")
+      },
+      Some(s"""WITH RECURSIVE ${lshPairsCte.stripPrefix("WITH ")},
+        edges0 AS (SELECT a AS src, b AS dst FROM dup_pairs WHERE jaccard >= 0.5),
+        edges AS (SELECT src, dst FROM edges0 UNION SELECT dst, src FROM edges0),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+        SELECT node, MIN(lbl) AS component FROM reach GROUP BY node ORDER BY node""")
     ),
     Q(
       // SimHash: 8-bit signature via per-hex-digit majority vote over the
