@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation operators — the steps between analysis and training:
+  * deterministic stratified sampling and token-budget shard packing.
+  * Both are RNG-free (md5-threshold / running-sum arithmetic) so any
+  * re-run — or the DuckDB oracle — lands on the identical sample.
+  */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(
+    Q(
+      // Stratified downsampling by language: per-stratum keep rates
+      // implemented as an md5(doc_id) hex threshold (es 16/16, de 8/16,
+      // en 4/16) — deterministic, shuffle-free beyond q24's one groupBy,
+      // and exactly reproducible at any scale (no RNG state, no
+      // sampleBy seed drift across partitions/retries).
+      "q35_quality_sample",
+      (s, dir) => {
+        import s.implicits._
+        val lang = TextQueries.tokens(s, dir)
+          .groupBy($"doc_id")
+          .agg(
+            count(lit(1)).as("n_words"),
+            sum(when($"word".rlike("[aeiou]$"), 1L).otherwise(0L)).as("vf"),
+            sum(length($"word")).as("chars"))
+          .withColumn("lang_guess",
+            when(round($"vf" / $"n_words", 6) > 0.4, "es")
+              .when(round($"chars" / $"n_words", 6) > 4.5, "de")
+              .otherwise("en"))
+        val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+        lang
+          .withColumn("keep",
+            when($"lang_guess" === "es", lit(true))
+              .when($"lang_guess" === "de", h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+              .otherwise(h.isin("0", "1", "2", "3")))
+          .filter($"keep")
+          .select($"doc_id", $"lang_guess", $"n_words")
+          .orderBy($"doc_id")
+      },
+      Some(s"""${TextQueries.tokensCte}, lang AS (
+          SELECT doc_id, COUNT(*) AS n_words,
+            CASE WHEN ROUND(SUM(CASE WHEN regexp_matches(word, '[aeiou]$$') THEN 1 ELSE 0 END) / COUNT(*), 6) > 0.4 THEN 'es'
+                 WHEN ROUND(SUM(length(word)) / COUNT(*), 6) > 4.5 THEN 'de'
+                 ELSE 'en' END AS lang_guess
+          FROM tk GROUP BY doc_id)
+        SELECT doc_id, lang_guess, n_words FROM lang
+        WHERE CASE WHEN lang_guess = 'es' THEN TRUE
+                   WHEN lang_guess = 'de' THEN substring(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('0','1','2','3','4','5','6','7')
+                   ELSE substring(md5(CAST(doc_id AS VARCHAR)),1,1) IN ('0','1','2','3') END
+        ORDER BY doc_id""")
+    ),
+    Q(
+      // Token-budget shard packing (training-shard assembly): documents
+      // are packed greedily into ~2048-token shards by a running sum.
+      // The parallel unit is a doc-hash bucket (32 here; executor count
+      // in production): the running-sum window partitions by bucket, so
+      // there is NO single global ordered window — the one shape that
+      // cannot scale. Shard id = (bucket, cum_before // budget).
+      "q36_shard_packing",
+      (s, dir) => {
+        import s.implicits._
+        val budget = 2048L
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id",
+            size(split($"text", "\\s+")).cast("bigint").as("n_tokens"))
+          .withColumn("bucket", pmod($"doc_id", lit(32)).cast("int"))
+        val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs
+          .withColumn("cum", sum($"n_tokens").over(w))
+          .withColumn("shard", (($"cum" - $"n_tokens") / budget).cast("bigint"))
+          .select($"doc_id", $"bucket", $"shard", $"n_tokens", $"cum")
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, bucket, CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard,
+               n_tokens, cum FROM (
+          SELECT doc_id, CAST(doc_id % 32 AS INT) AS bucket,
+            CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_tokens,
+            CAST(SUM(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
+              OVER (PARTITION BY doc_id % 32 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM documents) t ORDER BY doc_id""")
+    )
+  )
+}
