@@ -224,6 +224,78 @@ object DedupQueries {
       })
     ),
     Q(
+      // SimHash near-dup PAIRS — the Hamming-distance modality q23's
+      // exact-bucket equality can't express: a 16-bit signature (md5
+      // hex-digit majority votes), banded 4×4 for candidate generation
+      // (pigeonhole: ≤ 2 differing bits can touch at most 2 of the 4
+      // bands, so near-dups always share a band — recall is exact),
+      // the q22 per-band bucket cap against degenerate piles, then
+      // exact Hamming ≤ 2 verification. Pure joins + codegen'd ops.
+      "q37_simhash_hamming",
+      (s, dir) => {
+        import s.implicits._
+        val hi = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+        val tk = TextQueries.tokens(s, dir).withColumn("h", md5s($"word"))
+        val bitSums = (0 until 16).map(i =>
+          sum(when(substring($"h", i + 1, 1).isin(hi: _*), 1L).otherwise(0L)).as(s"s$i"))
+        val agg = tk.groupBy($"doc_id")
+          .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
+        val bits = (0 until 16).map(i =>
+          when(col(s"s$i") * 2 > col("n"), "1").otherwise("0"))
+        val sigs = agg.select($"doc_id", concat(bits: _*).as("sig"))
+        val bands = (0 until 4).map(b =>
+          sigs.select($"doc_id", $"sig", lit(b).as("band"),
+            substring($"sig", b * 4 + 1, 4).as("bucket")))
+        val banded = bands.reduce(_ unionByName _)
+          .withColumn("bn",
+            count(lit(1)).over(Window.partitionBy($"band", $"bucket")))
+          .filter($"bn" <= 100)
+          .drop("bn")
+        val cand = banded.alias("l")
+          .join(banded.alias("r"),
+            col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+              col("l.doc_id") < col("r.doc_id"))
+          .select(col("l.doc_id").as("a"), col("l.sig").as("sa"),
+            col("r.doc_id").as("b"), col("r.sig").as("sb"))
+          .distinct()
+        val hamming = (0 until 16).map(i =>
+          when(substring($"sa", i + 1, 1) =!= substring($"sb", i + 1, 1), 1L)
+            .otherwise(0L)).reduce(_ + _)
+        cand.withColumn("hamming", hamming)
+          .filter($"hamming" <= 2)
+          .select($"a", $"b", $"hamming")
+          .orderBy($"a", $"b")
+      },
+      Some({
+        val sums = (0 until 16).map(i =>
+          s"SUM(CASE WHEN substring(md5(word),${i + 1},1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS s$i")
+          .mkString(", ")
+        val bits = (0 until 16)
+          .map(i => s"CASE WHEN s$i * 2 > n THEN '1' ELSE '0' END").mkString(" || ")
+        val bandRows = (0 until 4)
+          .map(b => s"SELECT doc_id, sig, $b AS band, substring(sig, ${b * 4 + 1}, 4) AS bucket FROM sigs")
+          .mkString(" UNION ALL ")
+        val ham = (0 until 16)
+          .map(i => s"CASE WHEN substring(sa,${i + 1},1) <> substring(sb,${i + 1},1) THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""${TextQueries.tokensCte}, agg AS (
+          SELECT doc_id, $sums, COUNT(*) AS n FROM tk GROUP BY doc_id),
+        sigs AS (SELECT doc_id, $bits AS sig FROM agg),
+        bands AS ($bandRows),
+        bandsf AS (
+          SELECT doc_id, sig, band, bucket FROM (
+            SELECT doc_id, sig, band, bucket,
+                   COUNT(*) OVER (PARTITION BY band, bucket) AS bn
+            FROM bands) b WHERE bn <= 100),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS a, l.sig AS sa, r.doc_id AS b, r.sig AS sb
+          FROM bandsf l JOIN bandsf r
+            ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+        SELECT a, b, CAST($ham AS BIGINT) AS hamming FROM cand
+        WHERE $ham <= 2 ORDER BY a, b"""
+      })
+    ),
+    Q(
       // Language-ID heuristic: vowel-final ratio + mean word length (n-gram
       // heuristic stand-in; deterministic, no model).
       "q24_langid",
