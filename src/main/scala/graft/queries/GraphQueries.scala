@@ -161,6 +161,105 @@ object GraphQueries {
           SELECT q_id, centroid_id, c_id, sim,
             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
           FROM searched) r WHERE rnk <= 3 ORDER BY q_id, rnk""")
+    ),
+    Q(
+      // Multi-probe IVF (nprobe = 2): queries search their TWO nearest
+      // cells — the standard recall lever when the true neighbor falls
+      // just across a cell boundary. Same bounded-centroid broadcast +
+      // zero-shuffle assignment + per-partition top-k plan as q31; the
+      // only extra work is one more cell comparison per corpus row.
+      "q38_ann_ivf_multiprobe",
+      (s, dir) => {
+        import s.implicits._
+        val emb = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        val cents = emb.filter(t => t._1 % 50 == 0 && t._1 < 1000)
+          .collect().sortBy(_._1)
+          .map { case (id, v) => (id, v, DecimalDot.normSq(v)) }
+        val cB = s.sparkContext.broadcast(cents)
+        // top-n centroids by (sim desc, id asc)
+        def nearestN(cs: Array[(Long, Array[Float], Double)],
+                     v: Array[Float], nv: Double, n: Int): Array[Long] =
+          cs.map { case (cid, cv, cn) =>
+            (cid, DecimalDot.cosine(DecimalDot.dot(cv, v), cn, nv))
+          }.sortBy { case (cid, sim) => (-sim, cid) }.take(n).map(_._1)
+        val queries = emb.filter(_._1 < 10).collect().sortBy(_._1)
+          .map { case (id, v) =>
+            val nv = DecimalDot.normSq(v)
+            (id, v, nv, nearestN(cents, v, nv, 2).toSet)
+          }
+        val qB = s.sparkContext.broadcast(queries)
+        val survivors = emb.filter(_._1 >= 10).mapPartitions { it =>
+          val cs = cB.value
+          val qs = qB.value
+          val heaps = qs.map(_ => scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Double)])
+          def better(a: (Long, Double), b: (Long, Double)): Boolean =
+            a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+          for ((cid, v) <- it) {
+            val nv = DecimalDot.normSq(v)
+            val cell = nearestN(cs, v, nv, 1).head
+            var qi = 0
+            while (qi < qs.length) {
+              val (_, qv, qn, qCells) = qs(qi)
+              if (qCells.contains(cell)) {
+                val sim = DecimalDot.cosine(DecimalDot.dot(qv, v), qn, nv)
+                val h = heaps(qi)
+                val cand = (cid, sim)
+                if (h.length < 3 || better(cand, h.last)) {
+                  val at = h.indexWhere(e => better(cand, e))
+                  if (at < 0) h.append(cand) else h.insert(at, cand)
+                  if (h.length > 3) h.remove(3)
+                }
+              }
+              qi += 1
+            }
+          }
+          heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+            h.map { case (cid, sim) => (qs(qi)._1, cid, sim) }
+          }
+        }.toDF("q_id", "c_id", "sim")
+        val wTop = Window.partitionBy($"q_id").orderBy($"sim".desc, $"c_id")
+        survivors
+          .withColumn("rnk", row_number().over(wTop))
+          .filter($"rnk" <= 3)
+          .select($"q_id", $"rnk", $"c_id", round($"sim", 6).as("sim"))
+          .orderBy($"q_id", $"rnk")
+      },
+      Some("""WITH ex AS (
+          SELECT vec_id, CAST(i AS INT) AS i, CAST(x AS DOUBLE) AS x FROM (
+            SELECT vec_id, unnest(embedding) AS x,
+                   unnest(range(1, len(embedding)+1)) AS i FROM embeddings) t),
+        nrm AS (SELECT vec_id, SUM(CAST(x*x AS DECIMAL(38,18))) AS nsq FROM ex GROUP BY vec_id),
+        centsim AS (
+          SELECT a.vec_id AS a, b.vec_id AS b,
+            CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,18))) AS DOUBLE)
+              / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS sim
+          FROM ex a JOIN ex b ON a.i = b.i AND b.vec_id % 50 = 0 AND b.vec_id < 1000
+          JOIN nrm na ON na.vec_id = a.vec_id JOIN nrm nb ON nb.vec_id = b.vec_id
+          GROUP BY a.vec_id, b.vec_id, na.nsq, nb.nsq),
+        ranked AS (
+          SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY sim DESC, b) AS rn
+          FROM centsim),
+        assign AS (SELECT a AS vec_id, b AS centroid_id FROM ranked WHERE rn = 1),
+        probe AS (SELECT a AS vec_id, b AS centroid_id FROM ranked WHERE rn <= 2),
+        pairs AS (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id
+          FROM probe q JOIN assign c ON q.centroid_id = c.centroid_id
+          WHERE q.vec_id < 10 AND c.vec_id >= 10),
+        searched AS (
+          SELECT p.q_id, p.c_id,
+            CAST(SUM(CAST(a.x*b.x AS DECIMAL(38,18))) AS DOUBLE)
+              / sqrt(CAST(na.nsq AS DOUBLE) * CAST(nb.nsq AS DOUBLE)) AS sim
+          FROM pairs p
+          JOIN ex a ON a.vec_id = p.q_id
+          JOIN ex b ON b.vec_id = p.c_id AND b.i = a.i
+          JOIN nrm na ON na.vec_id = p.q_id JOIN nrm nb ON nb.vec_id = p.c_id
+          GROUP BY p.q_id, p.c_id, na.nsq, nb.nsq)
+        SELECT q_id, rnk, c_id, ROUND(sim, 6) AS sim FROM (
+          SELECT q_id, c_id, sim,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
+          FROM searched) r WHERE rnk <= 3 ORDER BY q_id, rnk""")
     )
   )
 }
