@@ -127,6 +127,66 @@ object KgOracle {
 
   val detXmlCols: Seq[String] = Seq("WORD", "UPOS")
 
+  // ------------------------------------------------------------------
+  // Deterministic SRL corpus (S2 ARGs columns): predicates at tid 4 and
+  // 10 of each 15-token sentence; ARGs column 1 marks roles of predicate
+  // 1 (A0 at tid 2, A1 at tid 6), ARGs column 2 of predicate 2 (A0 at
+  // tid 8, A2 at tid 12). Trailing partial sentences are KEPT so the
+  // dangling-arg guard (an ARGs cell whose predicate row is missing is
+  // dropped, while its subPropertyOf axiom still appears — the cell
+  // exists) is driver-gated too.
+  // ------------------------------------------------------------------
+
+  val detSrlCols: Seq[String] = Seq("ID", "WORD", "PRED", "PRED-ARGs")
+
+  def detSrlDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        val words = text.split("\\s+")
+        val spans = scala.collection.mutable.ArrayBuffer[Span]()
+        var off = 0
+        words.iterator.zipWithIndex.foreach { case (w, idx) =>
+          val tid = idx % SENT_LEN + 1
+          if (idx > 0 && tid == 1) {
+            spans += Span("sentence_break", "", "", off); off += 1
+          }
+          val pred = if (tid == 4 || tid == 10) "y" else "_"
+          val a1 = tid match { case 2 => "A0"; case 6 => "A1"; case _ => "_" }
+          val a2 = tid match { case 8 => "A0"; case 12 => "A2"; case _ => "_" }
+          spans += Span("token", s"$tid\t$w\t$pred\t$a1\t$a2", "", off)
+          off += 1
+        }
+        InputDoc(docId, spans.toSeq)
+      }
+  }
+
+  /** Closed form of the SRL parse: base token triples + conll:PRED
+    * literals + role object-properties (i-th physical ARGs column →
+    * i-th predicate ROW, CoNLL2RDF.java:139-150) + per-sentence
+    * rdfs:subPropertyOf axioms for every role CELL that exists. No HEAD
+    * column → every token depends on the sentence node. */
+  def srlSql: String =
+    s"""$detCte
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok2 WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $subjSql, 'rdf:type', 'nif:Word', TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok2 WHERE tid < ntok
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:ID', CAST(tid AS VARCHAR), FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:WORD', word, FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:HEAD', $sentNodeSql, TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:PRED', 'y', FALSE FROM tok2 WHERE tid IN (4, 10)
+      UNION ALL SELECT doc_id, sent, ':s' || CAST(sent AS VARCHAR) || '_4', 'conll:A0', $subjSql, TRUE FROM tok2 WHERE tid = 2 AND ntok >= 4
+      UNION ALL SELECT doc_id, sent, ':s' || CAST(sent AS VARCHAR) || '_4', 'conll:A1', $subjSql, TRUE FROM tok2 WHERE tid = 6 AND ntok >= 4
+      UNION ALL SELECT doc_id, sent, ':s' || CAST(sent AS VARCHAR) || '_10', 'conll:A0', $subjSql, TRUE FROM tok2 WHERE tid = 8 AND ntok >= 10
+      UNION ALL SELECT doc_id, sent, ':s' || CAST(sent AS VARCHAR) || '_10', 'conll:A2', $subjSql, TRUE FROM tok2 WHERE tid = 12 AND ntok >= 10
+      UNION ALL SELECT DISTINCT doc_id, sent, 'conll:A0', 'rdfs:subPropertyOf', 'conll:PRED-ARG', TRUE FROM tok2 WHERE tid IN (2, 8)
+      UNION ALL SELECT DISTINCT doc_id, sent, 'conll:A1', 'rdfs:subPropertyOf', 'conll:PRED-ARG', TRUE FROM tok2 WHERE tid = 6
+      UNION ALL SELECT DISTINCT doc_id, sent, 'conll:A2', 'rdfs:subPropertyOf', 'conll:PRED-ARG', TRUE FROM tok2 WHERE tid = 12
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+
   /** Position of the `<g/>` glue marker in the glue corpus (after the
     * 8th token of every sentence — SketchEngine emits `<g/>` between
     * tokens that had no whitespace; XMLTSV2RDF turns it into a childless

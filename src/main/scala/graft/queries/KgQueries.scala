@@ -171,6 +171,18 @@ object KgQueries {
       Some(KgOracle.contextAntecedentSql)
     ),
     Q(
+      // S2 ARGs columns (SRL): trailing role columns referencing the
+      // i-th predicate row, role object-properties + subPropertyOf
+      // axioms — driver-hash-checked incl. the dangling-arg guard on
+      // truncated trailing sentences (an ARGs cell whose predicate row
+      // is missing drops, its axiom stays).
+      "kg_srl_args",
+      (s, dir) => Pipeline.triples(
+        Pipeline.parse(KgOracle.detSrlDocs(s, dir), KgOracle.detSrlCols)).toDF
+        .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj")),
+      Some(KgOracle.srlSql)
+    ),
+    Q(
       // U14, the other direction: lookahead-window context rewriting
       // (same one-window-shuffle plan; VERDICT r2 item 5).
       "kg_context_cataphora",
