@@ -128,6 +128,67 @@ object KgOracle {
   val detXmlCols: Seq[String] = Seq("WORD", "UPOS")
 
   // ------------------------------------------------------------------
+  // Deterministic "dirty TSV" corpus (S1/S2 fidelity paths that were
+  // golden-only): per sentence — two comment lines (collected, '#'
+  // stripped, '\n'-joined onto the sentence node), `<s>` markup AS the
+  // sentence break, a skipped `<note/>` markup line, empty cells in two
+  // variants ('_' EDGE on odd tids, 'O' UPOS on tid 13), and an inline
+  // `#` comment stripped from tid 8's row.
+  // ------------------------------------------------------------------
+
+  val detDirtyCols: Seq[String] = Seq("ID", "WORD", "UPOS", "EDGE")
+
+  def detDirtyDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        val words = text.split("\\s+")
+        val spans = scala.collection.mutable.ArrayBuffer[Span]()
+        var off = 0
+        def add(kind: String, t: String): Unit = {
+          spans += Span(kind, t, "", off); off += 1
+        }
+        words.iterator.zipWithIndex.foreach { case (w, idx) =>
+          val sent = idx / SENT_LEN + 1
+          val tid = idx % SENT_LEN + 1
+          if (tid == 1) {
+            if (idx > 0) add("markup", "<s>") // markup doubles as the break
+            add("comment", s"# doc $docId sent $sent")
+            add("comment", s"# w $w")
+          }
+          val upos = if (tid == 13) "O" else uposFromHex(md5hex(w).charAt(0))
+          val edge =
+            if (tid % 2 != 0) "_"
+            else if (tid == 8) "amod#inline comment to strip"
+            else "det"
+          add("token", s"$tid\t$w\t$upos\t$edge")
+          if (tid == 3) add("markup", "<note/>") // skipped, no triples
+        }
+        InputDoc(docId, spans.toSeq)
+      }
+  }
+
+  /** Closed form of the dirty-TSV parse. */
+  def dirtySql: String =
+    s"""$detCte, w1 AS (SELECT doc_id, sent, word AS first_word FROM tok2 WHERE tid = 1)
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok2
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok2 WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $sentNodeSql, 'rdfs:comment',
+        'doc ' || doc_id || ' sent ' || CAST(sent AS VARCHAR) || chr(10) || 'w ' || first_word, FALSE
+        FROM w1
+      UNION ALL SELECT doc_id, sent, $subjSql, 'rdf:type', 'nif:Word', TRUE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok2 WHERE tid < ntok
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:ID', CAST(tid AS VARCHAR), FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:WORD', word, FALSE FROM tok2
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:UPOS', ${TextQueries.uposSql}, FALSE FROM tok2 WHERE tid <> 13
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:EDGE',
+        CASE WHEN tid = 8 THEN 'amod' ELSE 'det' END, FALSE FROM tok2 WHERE tid % 2 = 0
+      UNION ALL SELECT doc_id, sent, $subjSql, 'conll:HEAD', $sentNodeSql, TRUE FROM tok2
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+
+  // ------------------------------------------------------------------
   // Deterministic SRL corpus (S2 ARGs columns): predicates at tid 4 and
   // 10 of each 15-token sentence; ARGs column 1 marks roles of predicate
   // 1 (A0 at tid 2, A1 at tid 6), ARGs column 2 of predicate 2 (A0 at

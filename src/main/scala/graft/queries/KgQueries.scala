@@ -171,6 +171,18 @@ object KgQueries {
       Some(KgOracle.contextAntecedentSql)
     ),
     Q(
+      // S1/S2 dirty-TSV fidelity: comment collection ('#' strip, '\n'
+      // join onto the sentence node), `<s>` markup as the sentence
+      // break, skipped `<note/>` markup, '_'/'O' empty-cell variants,
+      // inline-'#' comment stripping — the input-noise paths that were
+      // golden-only, now driver-hash-checked.
+      "kg_tsv_fidelity",
+      (s, dir) => Pipeline.triples(
+        Pipeline.parse(KgOracle.detDirtyDocs(s, dir), KgOracle.detDirtyCols)).toDF
+        .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj")),
+      Some(KgOracle.dirtySql)
+    ),
+    Q(
       // S2 ARGs columns (SRL): trailing role columns referencing the
       // i-th predicate row, role object-properties + subPropertyOf
       // axioms — driver-hash-checked incl. the dangling-arg guard on
