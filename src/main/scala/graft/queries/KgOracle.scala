@@ -93,6 +93,21 @@ object KgOracle {
       }
   }
 
+  /** detDocs with the schema traveling IN-BAND: a CoNLL-U Plus
+    * `# global.columns` comment leads each document, so the parser must
+    * override whatever columns the call declares (S5) and the formatter
+    * must rediscover them from rdfs:comment (the K2 discovery chain).
+    * Token content is identical to detDocs → the export oracle is
+    * conllExportSql unchanged. */
+  def detPlusDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    detDocs(s, dir).map { d =>
+      val shifted = d.spans.map(sp => sp.copy(offset = sp.offset + 1))
+      d.copy(spans =
+        Span("comment", s"# global.columns = ${detCols.mkString(" ")}", "", 0) +: shifted)
+    }
+  }
+
   /** documents.parquet → deterministic SketchEngine-shaped XML-TSV docs:
     * `<doc id="D">` wrapping one `<s>…</s>` per 15-token sentence, 2-col
     * TSV rows (WORD, UPOS). `s` is a breaking element, so the S7 parser's

@@ -171,6 +171,22 @@ object KgQueries {
       Some(KgOracle.contextAntecedentSql)
     ),
     Q(
+      // S5 end-to-end: the schema travels IN-BAND (# global.columns
+      // comment) — the parse is called with a deliberately wrong column
+      // list and must take the override; the export is called with NO
+      // columns and must rediscover them from rdfs:comment (the
+      // reference's CLI > comment resolution chain). Same oracle as
+      // kg_conll_export: the output must be bit-identical.
+      "kg_conllu_plus",
+      (s, dir) =>
+        Serializers.toConllTsv(
+            Pipeline.triples(
+              Pipeline.parse(KgOracle.detPlusDocs(s, dir), Seq("IGNORE"))).toDF,
+            Seq.empty)
+          .orderBy(col("doc_id"), col("sent"), col("tok")),
+      Some(KgOracle.conllExportSql)
+    ),
+    Q(
       // S1/S2 dirty-TSV fidelity: comment collection ('#' strip, '\n'
       // join onto the sentence node), `<s>` markup as the sentence
       // break, skipped `<note/>` markup, '_'/'O' empty-cell variants,
