@@ -82,6 +82,57 @@ object CurationQueries {
             CAST(SUM(CAST(len(string_split_regex(text, '\s+')) AS BIGINT))
               OVER (PARTITION BY doc_id % 32 ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
           FROM documents) t ORDER BY doc_id""")
+    ),
+    Q(
+      // PII-style scrubbing: long digit runs (ids, phone-ish numbers)
+      // replaced by a <NUM> sentinel — the redaction stage every
+      // training-data pipeline runs before tokenization. Narrow map;
+      // the redacted text is fingerprinted so the oracle compares
+      // content without hauling full text through the hash gate.
+      "q39_redact",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            size(regexp_extract_all($"text", lit("[0-9]{4,}"), lit(0)))
+              .cast("bigint").as("n_redacted"),
+            md5(regexp_replace($"text", "[0-9]{4,}", "<NUM>").cast("binary")).as("fp"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redacted,
+          md5(regexp_replace(text, '[0-9]{4,}', '<NUM>', 'g')) AS fp
+        FROM documents ORDER BY doc_id""")
+    ),
+    Q(
+      // Repetition filter (the Gopher-style duplicate-n-gram rule): the
+      // fraction of repeated word 3-grams per document — high values
+      // flag boilerplate/spam. One window pass + one groupBy.
+      "q40_repetition",
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"doc_id").orderBy($"tok")
+        TextQueries.tokens(s, dir)
+          .withColumn("w2", lead($"word", 1).over(w))
+          .withColumn("w3", lead($"word", 2).over(w))
+          .filter($"w3".isNotNull)
+          .select($"doc_id", concat_ws(" ", $"word", $"w2", $"w3").as("g"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            countDistinct($"g").as("n_distinct"))
+          .withColumn("rep_ratio",
+            round(($"n_grams" - $"n_distinct") / $"n_grams", 6))
+          .orderBy($"doc_id")
+      },
+      Some(s"""${TextQueries.tokensCte}, g3 AS (
+          SELECT doc_id, word || ' ' || w2 || ' ' || w3 AS g FROM (
+            SELECT doc_id, word,
+              lead(word, 1) OVER (PARTITION BY doc_id ORDER BY tok) AS w2,
+              lead(word, 2) OVER (PARTITION BY doc_id ORDER BY tok) AS w3
+            FROM tk) p WHERE w3 IS NOT NULL)
+        SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct,
+          ROUND((COUNT(*) - COUNT(DISTINCT g)) / COUNT(*), 6) AS rep_ratio
+        FROM g3 GROUP BY doc_id ORDER BY doc_id""")
     )
   )
 }
