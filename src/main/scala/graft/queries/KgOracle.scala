@@ -147,11 +147,14 @@ object KgOracle {
   // golden-only): per sentence — two comment lines (collected, '#'
   // stripped, '\n'-joined onto the sentence node), `<s>` markup AS the
   // sentence break, a skipped `<note/>` markup line, empty cells in two
-  // variants ('_' EDGE on odd tids, 'O' UPOS on tid 13), and an inline
-  // `#` comment stripped from tid 8's row.
+  // variants ('_' EDGE on odd tids, 'O' UPOS on tid 13), an inline `#`
+  // comment stripped from tid 8's row, and an IGNORE column whose
+  // triples the remove-IGNORE rewrite must delete EXACTLY (the oracle
+  // has no IGNORE branch — leftovers or overdeletes both break the
+  // hash).
   // ------------------------------------------------------------------
 
-  val detDirtyCols: Seq[String] = Seq("ID", "WORD", "UPOS", "EDGE")
+  val detDirtyCols: Seq[String] = Seq("ID", "WORD", "UPOS", "EDGE", "IGNORE")
 
   def detDirtyDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
@@ -177,7 +180,7 @@ object KgOracle {
             if (tid % 2 != 0) "_"
             else if (tid == 8) "amod#inline comment to strip"
             else "det"
-          add("token", s"$tid\t$w\t$upos\t$edge")
+          add("token", s"$tid\t$w\t$upos\t$edge\tjunk$tid")
           if (tid == 3) add("markup", "<note/>") // skipped, no triples
         }
         InputDoc(docId, spans.toSeq)

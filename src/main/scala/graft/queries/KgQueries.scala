@@ -190,11 +190,15 @@ object KgQueries {
       // S1/S2 dirty-TSV fidelity: comment collection ('#' strip, '\n'
       // join onto the sentence node), `<s>` markup as the sentence
       // break, skipped `<note/>` markup, '_'/'O' empty-cell variants,
-      // inline-'#' comment stripping — the input-noise paths that were
-      // golden-only, now driver-hash-checked.
+      // inline-'#' comment stripping, and the remove-IGNORE rewrite
+      // deleting the IGNORE column's triples EXACTLY (the oracle has no
+      // IGNORE branch) — the input-noise paths that were golden-only,
+      // now driver-hash-checked.
       "kg_tsv_fidelity",
       (s, dir) => Pipeline.triples(
-        Pipeline.parse(KgOracle.detDirtyDocs(s, dir), KgOracle.detDirtyCols)).toDF
+        Pipeline.rewrite(
+          Pipeline.parse(KgOracle.detDirtyDocs(s, dir), KgOracle.detDirtyCols),
+          Seq(AnalyzeScripts.removeIgnore -> 1))).toDF
         .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj")),
       Some(KgOracle.dirtySql)
     ),
