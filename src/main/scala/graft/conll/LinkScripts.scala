@@ -19,16 +19,6 @@ object LinkScripts {
       }
     ))
 
-  /** Exact-tag mode of link/link-penn-POS.sparql over conll:POS. */
-  def linkPennPos(tagToConcepts: Map[String, Seq[String]]): Script =
-    Script("link-penn-POS", Seq(
-      stage { (g, out) =>
-        g.foreachPair(conll("POS")) { (w, pos, _) =>
-          tagToConcepts.getOrElse(pos, Seq.empty).foreach(c => out.insUri(w, A, c))
-        }
-      }
-    ))
-
   /** Full link/link-penn-POS.sparql: all 5 oliasys tag-matching modes
     * (exact/containing/regex/starting/ending), relation replication with
     * heuristic-disambiguated closure typing, and annotation-class supers —

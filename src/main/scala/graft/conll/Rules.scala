@@ -1,7 +1,6 @@
 package graft.conll
 
 import java.util.regex.Pattern
-import scala.collection.concurrent.TrieMap
 import scala.collection.mutable
 
 /** Rewrite-rule framework: SPARQL-Update semantics over a SentGraph
@@ -84,15 +83,9 @@ object Rules {
     * statement. */
   final case class StepDump(script: String, iteration: Int, statement: Int, lines: Seq[String])
 
-  private val patterns = TrieMap.empty[String, Pattern]
-
-  /** SPARQL regex(): partial match, like Jena's. */
-  def re(v: String, p: String): Boolean =
-    patterns.getOrElseUpdate(p, Pattern.compile(p)).matcher(v).find()
-
-  /** Precompiled SPARQL regex() predicate — compile once at script
-    * construction; the per-call TrieMap lookup of `re` costs ~100M map
-    * probes per 100k-doc run. */
+  /** Precompiled SPARQL regex() predicate (partial match, like Jena's
+    * regex()) — compile once at script construction; a per-call pattern
+    * cache lookup costs ~100M map probes per 100k-doc run. */
   final class Re(p: String) extends (String => Boolean) with Serializable {
     @transient private lazy val pattern = Pattern.compile(p)
     def apply(v: String): Boolean = pattern.matcher(v).find()
