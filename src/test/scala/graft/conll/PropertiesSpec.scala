@@ -68,6 +68,36 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("property: parse → toConllTsv round-trips arbitrary safe cell matrices") {
+    // safe alphabet: no tabs/newlines/'#'/escaping-relevant chars, cells
+    // never matching the empty-cell pattern — the exact-identity domain
+    // (escaped/empty variants are covered by SerializersSpec and
+    // kg_tsv_fidelity)
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val genCell = Gen.chooseNum(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+      .suchThat(c => !SpanParser.isEmptyCell(c))
+    val genRow = Gen.listOfN(3, genCell) // WORD, UPOS, EDGE
+    val genSentence = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, genRow))
+    val cols = Seq("ID", "WORD", "UPOS", "EDGE")
+    check(Prop.forAll(genSentence) { rows =>
+      val spans = rows.zipWithIndex.map { case (cells, i) =>
+        Span("token", s"${i + 1}\t${cells.mkString("\t")}", "", i)
+      }
+      val sents = SpanParser.parseDoc(InputDoc("dp", spans), cols)
+      val t = spark.createDataset(sents.flatMap(s =>
+        s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+      val out = Serializers.toConllTsv(t, cols)
+        .orderBy($"tok")
+        .select($"ID", $"WORD", $"UPOS", $"EDGE")
+        .as[(String, String, String, String)].collect()
+      out.toList == rows.zipWithIndex.map { case (cells, i) =>
+        ((i + 1).toString, cells(0), cells(1), cells(2))
+      }
+    }, n = 15)
+  }
+
   test("property: lexiconumeric key is order-isomorphic to numeric token order") {
     val genTok = Gen.choose(0, 5000)
     check(Prop.forAll(genTok, genTok) { (a, b) =>
