@@ -78,6 +78,27 @@ object KgQueries {
       Some(KgOracle.linkSql)
     ),
     Q(
+      // The SALTED-join regime of the same link pipeline (north_rule
+      // skew handling): broadcastMax = 0 forces the explicit-salt
+      // shuffle join (deterministic per-mention salt, gazetteer
+      // exploded ×16) — and the output must be BIT-IDENTICAL to the
+      // broadcast/fused regime, so this entry shares kg_pipeline_link's
+      // oracle. The skew machinery itself is now under the hash gate,
+      // not just SkewSpec.
+      "kg_pipeline_link_salted",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Pipeline.triples(detParsed(s, dir))
+          .filter($"pred" === "conll:WORD").select($"obj".as("word"))
+        val gaz = EntityLinker.gazetteerFromVocab(vocab)
+        val t = Pipeline.triples(
+          Pipeline.rewrite(detParsed(s, dir), Pipeline.linkCascade))
+        EntityLinker.linkUnioned(t, gaz, broadcastMax = 0)
+          .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.linkSql)
+    ),
+    Q(
       // K2 sink: CoNLL TSV reconstruction from triples (pivot path),
       // driver-hash-checked on the det pipeline.
       "kg_conll_export",
