@@ -91,11 +91,14 @@ object EntityLinker {
     vocab.select(lower(col("word")).as("surface")).distinct()
       .withColumn("entity_id", concat(lit("ent:"), substring(md5(col("surface").cast("binary")), 1, 12)))
 
-  /** Canonicalize entity ids over sameAs evidence via connected components;
-    * rewrites linked triples' objects to the canonical (minimum) id. */
+  /** Canonicalize entity ids over sameAs evidence via connected
+    * components; rewrites linked triples' objects to the canonical
+    * (minimum) id. The join strategy is left to Catalyst/AQE: the
+    * component table is entity-count-sized, which outgrows a forced
+    * broadcast at corpus scale. */
   def canonicalize(spark: SparkSession, linked: DataFrame, sameAs: DataFrame): DataFrame = {
     val comp = graft.operators.ConnectedComponents.run(spark, sameAs)
-    linked.join(broadcast(comp), linked("obj") === comp("node"), "left_outer")
+    linked.join(comp, linked("obj") === comp("node"), "left_outer")
       .withColumn("obj", coalesce(col("component"), col("obj")))
       .drop("node", "component")
   }

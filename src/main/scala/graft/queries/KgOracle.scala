@@ -796,11 +796,10 @@ object KgOracle {
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
   }
 
-  /** link-ud cascade + fused entity links over the det pipeline. The
-    * UPOS→OLiA concept sets are the SAME driver-side ontology closures the
-    * engine broadcasts (Ontology.tagToConcepts ∘ superClosure), embedded
-    * as a VALUES table; entity ids are the md5 gazetteer scheme. */
-  val linkSql: String = {
+  /** UPOS→OLiA concept VALUES rows — the SAME driver-side ontology
+    * closures the engine broadcasts (Ontology.tagToConcepts ∘
+    * superClosure). */
+  private def udConceptValues: String = {
     val t2c = graft.conll.Ontology.tagToConcepts(
       graft.conll.Ontology.miniOlia, graft.conll.Ontology.GRAPH_UD, graft.conll.Ontology.keepOlia)
     val sup = graft.conll.Ontology.superClosure(
@@ -809,7 +808,13 @@ object KgOracle {
       (tag, cs) <- t2c.toSeq
       c <- (cs ++ cs.flatMap(x => sup.getOrElse(x, Seq.empty))).distinct
     } yield s"('$tag', '$c')"
-    s"""$detCte, ud_concepts(upos, concept) AS (VALUES ${rows.sorted.mkString(", ")})
+    rows.sorted.mkString(", ")
+  }
+
+  /** link-ud cascade + fused entity links over the det pipeline; entity
+    * ids are the md5 gazetteer scheme. */
+  val linkSql: String =
+    s"""$detCte, ud_concepts(upos, concept) AS (VALUES $udConceptValues)
     SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
       $baseBranchesSql
       UNION ALL SELECT t.doc_id, t.sent,
@@ -818,7 +823,25 @@ object KgOracle {
       UNION ALL SELECT doc_id, sent, $subjSql, 'conll:ENTITY',
         'ent:' || substring(md5(lower(word)), 1, 12), TRUE FROM tok2
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
-  }
+
+  /** linkSql with the ENTITY objects CANONICALIZED: sameAs evidence is
+    * the bucket clique over the first 3 hash chars of each entity id, so
+    * the connected component's min label has the closed form
+    * MIN(e) OVER (PARTITION BY bucket) — no recursion needed, while the
+    * engine runs the real iterative min-label CC. */
+  def linkCanonicalSql: String =
+    s"""$detCte, ud_concepts(upos, concept) AS (VALUES $udConceptValues),
+    ents AS (SELECT DISTINCT 'ent:' || substring(md5(lower(word)), 1, 12) AS e FROM tok2),
+    canon AS (SELECT e, MIN(e) OVER (PARTITION BY substring(e, 5, 3)) AS c FROM ents)
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      $baseBranchesSql
+      UNION ALL SELECT t.doc_id, t.sent,
+        ':s' || CAST(t.sent AS VARCHAR) || '_' || CAST(t.tid AS VARCHAR), 'rdf:type', c.concept, TRUE
+        FROM tok2 t JOIN ud_concepts c ON c.upos = t.upos
+      UNION ALL SELECT t.doc_id, t.sent,
+        ':s' || CAST(t.sent AS VARCHAR) || '_' || CAST(t.tid AS VARCHAR), 'conll:ENTITY', cn.c, TRUE
+        FROM tok2 t JOIN canon cn ON cn.e = 'ent:' || substring(md5(lower(t.word)), 1, 12)
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
 
   /** K2 TSV export (toConllTsv) over the parse-only det pipeline. */
   val conllExportSql: String =

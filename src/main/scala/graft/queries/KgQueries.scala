@@ -99,6 +99,34 @@ object KgQueries {
       Some(KgOracle.linkSql)
     ),
     Q(
+      // north_star "canonicalize via connected-components ID resolution"
+      // APPLIED to the triple table: deterministic sameAs evidence
+      // (3-hex-char bucket cliques over entity ids) → real iterative
+      // min-label CC → every conll:ENTITY object rewritten to its
+      // component's canonical id. The clique structure gives the oracle
+      // a closed form (per-bucket min) with no recursion, while the
+      // engine earns its label the iterative way.
+      "kg_entity_canonical",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = Pipeline.triples(detParsed(s, dir))
+          .filter($"pred" === "conll:WORD").select($"obj".as("word"))
+        val gaz = EntityLinker.gazetteerFromVocab(vocab)
+        val t = Pipeline.triples(
+          Pipeline.rewrite(detParsed(s, dir), Pipeline.linkCascade))
+        val linked = EntityLinker.linkUnioned(t, gaz)
+        val ents = linked.filter($"pred" === "conll:ENTITY")
+          .select($"obj".as("e")).distinct()
+          .withColumn("b", substring($"e", 5, 3))
+        val edges = ents.alias("l").join(ents.alias("r"),
+            col("l.b") === col("r.b") && col("l.e") < col("r.e"))
+          .select(col("l.e").as("src"), col("r.e").as("dst"))
+        EntityLinker.canonicalize(s, linked, edges)
+          .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.linkCanonicalSql)
+    ),
+    Q(
       // K2 sink: CoNLL TSV reconstruction from triples (pivot path),
       // driver-hash-checked on the det pipeline.
       "kg_conll_export",
