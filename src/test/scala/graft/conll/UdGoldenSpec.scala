@@ -173,6 +173,37 @@ class UdGoldenSpec extends AnyFunSuite {
     g
   }
 
+  test("SR parse invariants hold across the ENTIRE en-ud-dev corpus") {
+    // breadth next to the det oracle's depth: every sentence of the real
+    // corpus through the full parse cascade must satisfy the structural
+    // invariants the rules guarantee when a HEAD default exists.
+    val sents = SpanParser.parseDoc(docOf(lines), parseCols)
+    assert(sents.length == 2002)
+    var shiftLeft = 0L
+    var tokens = 0L
+    var multiHead = 0L
+    for (s <- sents) {
+      val g = SentGraph(s)
+      for ((sc, n) <- Pipeline.parseCascade) sc.run(g, n)
+      // REDUCE is always rewritten (every token has the default HEAD)
+      assert(g.pairs("conll:REDUCE").isEmpty, s"REDUCE residue in ${s.sent}")
+      val words = g.words
+      tokens += words.length
+      // >= 1 HEAD per token; > 1 is legitimate (a token re-entered the
+      // chain via a last.SHIFT rewire and reduced twice — REDUCE-to-HEAD
+      // inserts one HEAD per binding, multi-valued RDF semantics)
+      assert(words.forall(w => g.objects(w, "conll:HEAD").nonEmpty),
+        s"headless token in ${s.sent}")
+      multiHead += words.count(w => g.objects(w, "conll:HEAD").length > 1)
+      shiftLeft += g.pairs("conll:SHIFT").length
+    }
+    // budget-capped fixpoints may strand SHIFT edges, but never more
+    // than a chain per sentence
+    assert(shiftLeft < tokens)
+    info(s"residual SHIFT edges: $shiftLeft, multi-headed tokens: " +
+      s"$multiHead across $tokens tokens")
+  }
+
   private def traceOf(ls: Seq[String]): Seq[(String, Int, Int)] = {
     val sents = SpanParser.parseDoc(docOf(ls), parseCols)
     val g = SentGraph(sents.head)
