@@ -49,6 +49,32 @@ class TenTenSpec extends AnyFunSuite {
     assert(out.exists(l => l.contains("<g x=\"1/2\">") && l.contains("a\tb")))
   }
 
+  test("property: repair synthesizes exactly one opener per unmatched closer") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // random bracket scripts over 3 element names, as escaped content
+    val genOp = Gen.oneOf("s", "p", "g").flatMap(n =>
+      Gen.oneOf(s"&lt;$n&gt;", s"&lt;/$n&gt;"))
+    val genScript = Gen.chooseNum(1, 12).flatMap(k => Gen.listOfN(k, genOp))
+    val p = Prop.forAll(genScript) { ops =>
+      val content = (ops :+ row1).mkString(" ")
+      val out = TenTen.convert(Seq(s"<left>$content</left>"), repair = true)
+      // count unmatched closers with the straightforward stack
+      val stack = scala.collection.mutable.ArrayBuffer[String]()
+      var unmatched = 0
+      for (op <- ops) {
+        val name = op.replaceAll("&lt;|&gt;|/", "")
+        if (op.contains("/")) {
+          val i = stack.indexOf(name)
+          if (i < 0) unmatched += 1 else stack.remove(i)
+        } else stack += name
+      }
+      val artificial = out.size - (ops.size + 1) // beyond input lines
+      artificial == unmatched
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(60), p)
+    assert(r.passed, r.status.toString)
+  }
+
   test("S9 → S7 integration: repaired lines parse as XML-TSV") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
