@@ -796,6 +796,36 @@ object KgOracle {
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
   }
 
+  /** K1 canonical TTL text, sentence-block closed form: the det corpus
+    * has single-valued predicates and numeric ids, so the lexiconumeric
+    * line sort reduces to (prev-sentence link line, sentence-node line,
+    * tokens by tid) and the reference property order (rdf:type,
+    * conll:WORD, declared columns in order, nif:nextWord last) is a
+    * fixed template per token. Gates the canonical FORMATTING itself —
+    * the TTL roundtrip gate ignores ordering by construction. */
+  def ttlTextSql: String = {
+    val sentV = "CAST(sent AS VARCHAR)"
+    val tidV = "CAST(tid AS VARCHAR)"
+    val tokLine =
+      s"""':s' || $sentV || '_' || $tidV || ' a nif:Word; conll:WORD "' || word ||
+         '"; conll:ID "' || $tidV || '"; conll:UPOS "' || upos ||
+         '"; conll:HEAD :s' || $sentV || '_' || CAST(head AS VARCHAR) ||
+         '; conll:EDGE "' || edge || '"' ||
+         CASE WHEN tid < ntok
+              THEN '; nif:nextWord :s' || $sentV || '_' || CAST(tid + 1 AS VARCHAR)
+              ELSE '' END || ' .'"""
+        .linesIterator.map(_.trim).mkString(" ")
+    s"""$detCte, blocks AS (
+      SELECT doc_id, sent, string_agg($tokLine, chr(10) ORDER BY tid) AS toklines
+      FROM tok2 GROUP BY doc_id, sent)
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent,
+      CASE WHEN sent > 1
+           THEN ':s' || CAST(sent - 1 AS VARCHAR) || '_0 nif:nextSentence :s' || $sentV || '_0 .' || chr(10)
+           ELSE '' END ||
+      ':s' || $sentV || '_0 a nif:Sentence .' || chr(10) || toklines AS ttl
+    FROM blocks ORDER BY doc_id, sent"""
+  }
+
   /** UPOS→OLiA concept VALUES rows — the SAME driver-side ontology
     * closures the engine broadcasts (Ontology.tagToConcepts ∘
     * superClosure). */

@@ -195,6 +195,22 @@ object KgQueries {
       Some(KgOracle.analyzeSql)
     ),
     Q(
+      // K1 canonical TTL FORMATTING under the hash gate: one canonical
+      // block per sentence — reference property order and the
+      // lexiconumeric line sort — as a closed string form (the TTL
+      // roundtrip gate deliberately ignores ordering; this one doesn't).
+      "kg_ttl_text",
+      (s, dir) => {
+        import s.implicits._
+        detParsed(s, dir)
+          .map(st => (st.docId, st.sent,
+            Serializers.toCanonicalTtl(st, KgOracle.detCols)))
+          .toDF("doc_id", "sent", "ttl")
+          .orderBy(col("doc_id"), col("sent"))
+      },
+      Some(KgOracle.ttlTextSql)
+    ),
+    Q(
       // K2 text sink: per-document CoNLL text with global.columns header,
       // driver-hash-checked on the det pipeline.
       "kg_conll_text",
