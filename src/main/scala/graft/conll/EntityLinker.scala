@@ -82,8 +82,8 @@ object EntityLinker {
           case None => Seq(t)
         }
         else Seq(t)
-      }.toDF
-    } else triples.toDF.unionByName(linkSalted(triples.toDF, gazetteer))
+      }.toDF()
+    } else triples.toDF().unionByName(linkSalted(triples.toDF(), gazetteer))
   }
 
   /** Derive a deterministic gazetteer from a vocabulary DataFrame(word). */

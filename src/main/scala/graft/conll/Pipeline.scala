@@ -192,7 +192,7 @@ object Pipeline {
     val t = triples(rewrite(parse(docs, cols), scripts))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("sent")).as("n_sentences"), count(lit(1)).as("n_triples"))
-    docs.toDF.join(t, Seq("doc_id"), "left_outer")
+    docs.toDF().join(t, Seq("doc_id"), "left_outer")
   }
 
   /** The analyze-ud cascade (examples/analyze-ud.json):

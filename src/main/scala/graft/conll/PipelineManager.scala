@@ -130,7 +130,7 @@ object PipelineManager {
       rejectReplacementChar = true)
     cfg.format match {
       case "conll" => Serializers.toConllTsv(
-        Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates).toDF,
+        Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates).toDF(),
         if (cfg.formatColumns.nonEmpty) cfg.formatColumns else cfg.columns)
       case "ntriples" => Serializers.toSortedNTriples(
         Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates))
@@ -153,7 +153,7 @@ object PipelineManager {
               .toDF("doc_id", "sent", "ttl_ansi")
         }
       case _ =>
-        Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates).toDF
+        Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates).toDF()
     }
   }
 }

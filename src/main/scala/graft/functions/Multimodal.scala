@@ -122,7 +122,7 @@ object Multimodal {
     * sorted comma-joined scalar (NOT an array column — the driver's
     * pandas compare cannot hash arrays; VERDICT r1 "what's wrong" #1). */
   def dupFrames(frames: Dataset[Frame]): DataFrame = {
-    frames.toDF
+    frames.toDF()
       .groupBy(col("phash"))
       .agg(count(lit(1)).as("n"),
         concat_ws(",", array_sort(collect_set(col("media_ref")))).as("refs"))

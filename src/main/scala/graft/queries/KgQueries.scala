@@ -37,7 +37,7 @@ object KgQueries {
       // analyze-ud cascade through the full engine, driver-hash-checked
       // against the statement-by-statement SQL mirror of the cascade.
       "kg_pipeline_analyze",
-      (s, dir) => Pipeline.triples(detAnalyzed(s, dir)).toDF
+      (s, dir) => Pipeline.triples(detAnalyzed(s, dir)).toDF()
         .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj")),
       Some(KgOracle.analyzeSql)
     ),
@@ -52,7 +52,7 @@ object KgQueries {
       (s, dir) => Pipeline.triples(
         Pipeline.rewrite(
           Pipeline.parse(KgOracle.detParseDocs(s, dir), KgOracle.detParseCols),
-          Pipeline.parseCascade)).toDF
+          Pipeline.parseCascade)).toDF()
         .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj")),
       Some(KgOracle.parseSql)
     ),
@@ -132,7 +132,7 @@ object KgQueries {
       "kg_conll_export",
       (s, dir) =>
         Serializers.toConllTsv(
-            Pipeline.triples(detParsed(s, dir)).toDF, KgOracle.detCols)
+            Pipeline.triples(detParsed(s, dir)).toDF(), KgOracle.detCols)
           .orderBy(col("doc_id"), col("tok")),
       Some(KgOracle.conllExportSql)
     ),
@@ -153,7 +153,7 @@ object KgQueries {
       "kg_eval_possynt",
       (s, dir) =>
         Serializers.evalPossyntSelect(
-            Pipeline.triples(detAnalyzed(s, dir)).toDF)
+            Pipeline.triples(detAnalyzed(s, dir)).toDF())
           .orderBy(col("doc_id"), col("subj")),
       Some(KgOracle.evalPossyntSql)
     ),
@@ -171,7 +171,7 @@ object KgQueries {
       "kg_select_sentences",
       (s, dir) =>
         Serializers.selectSentenceStrings(
-            Pipeline.triples(detParsed(s, dir)).toDF)
+            Pipeline.triples(detParsed(s, dir)).toDF())
           .orderBy(col("doc_id"), col("sent_id")),
       Some(KgOracle.selectSentencesSql)
     ),
@@ -190,7 +190,7 @@ object KgQueries {
           (id, Serializers.toCanonicalTtlDocument(sents.toSeq, KgOracle.detCols, s"urn:graft:$id#"))
         }
         Pipeline.rewriteTriples(Pipeline.parseTtl(ttlDocs), Pipeline.analyzeCascade)
-          .toDF.orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+          .toDF().orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.analyzeSql)
     ),
@@ -216,7 +216,7 @@ object KgQueries {
       "kg_conll_text",
       (s, dir) =>
         Serializers.toConllText(
-            Pipeline.triples(detParsed(s, dir)).toDF, KgOracle.detCols)
+            Pipeline.triples(detParsed(s, dir)).toDF(), KgOracle.detCols)
           .orderBy(col("doc_id")),
       Some(KgOracle.conllTextSql)
     ),
@@ -228,7 +228,7 @@ object KgQueries {
       (s, dir) => {
         val ctx = ContextWindow.attach(detParsed(s, dir), lookback = 2, lookahead = 0)
         val out = ContextWindow.rewriteWithContext(ctx)(ContextWindow.pronounAntecedent)
-        Pipeline.triples(out).toDF
+        Pipeline.triples(out).toDF()
           .filter(col("pred") === "conll:ANTECEDENT")
           .select(col("doc_id"), col("sent"), col("subj"), col("obj").as("antecedent"))
           .orderBy(col("doc_id"), col("sent"))
@@ -246,7 +246,7 @@ object KgQueries {
       (s, dir) =>
         Serializers.toConllTsv(
             Pipeline.triples(
-              Pipeline.parse(KgOracle.detPlusDocs(s, dir), Seq("IGNORE"))).toDF,
+              Pipeline.parse(KgOracle.detPlusDocs(s, dir), Seq("IGNORE"))).toDF(),
             Seq.empty)
           .orderBy(col("doc_id"), col("sent"), col("tok")),
       Some(KgOracle.conllExportSql)
@@ -263,7 +263,7 @@ object KgQueries {
       (s, dir) => Pipeline.triples(
         Pipeline.rewrite(
           Pipeline.parse(KgOracle.detDirtyDocs(s, dir), KgOracle.detDirtyCols),
-          Seq(AnalyzeScripts.removeIgnore -> 1))).toDF
+          Seq(AnalyzeScripts.removeIgnore -> 1))).toDF()
         .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj")),
       Some(KgOracle.dirtySql)
     ),
@@ -275,7 +275,7 @@ object KgQueries {
       // is missing drops, its axiom stays).
       "kg_srl_args",
       (s, dir) => Pipeline.triples(
-        Pipeline.parse(KgOracle.detSrlDocs(s, dir), KgOracle.detSrlCols)).toDF
+        Pipeline.parse(KgOracle.detSrlDocs(s, dir), KgOracle.detSrlCols)).toDF()
         .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj")),
       Some(KgOracle.srlSql)
     ),
@@ -286,7 +286,7 @@ object KgQueries {
       (s, dir) => {
         val ctx = ContextWindow.attach(detParsed(s, dir), lookback = 0, lookahead = 2)
         val out = ContextWindow.rewriteWithContext(ctx)(ContextWindow.pronounCataphor)
-        Pipeline.triples(out).toDF
+        Pipeline.triples(out).toDF()
           .filter(col("pred") === "conll:POSTCEDENT")
           .select(col("doc_id"), col("sent"), col("subj"), col("obj").as("postcedent"))
           .orderBy(col("doc_id"), col("sent"))
@@ -305,7 +305,7 @@ object KgQueries {
         val sents = KgOracle.detXmlDocs(s, dir)
           .flatMap(x => XmlTsvParser.parseDoc(x, KgOracle.detXmlCols))
         Pipeline.triples(Pipeline.rewrite(sents,
-          Seq(TreesScripts.xAttributes2value -> 1))).toDF
+          Seq(TreesScripts.xAttributes2value -> 1))).toDF()
           .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.xmltsvSql)
@@ -322,7 +322,7 @@ object KgQueries {
         val sents = KgOracle.detXmlGlueDocs(s, dir)
           .flatMap(x => XmlTsvParser.parseDoc(x, KgOracle.detXmlCols))
         Pipeline.triples(Pipeline.rewrite(sents,
-          Seq(TreesScripts.emptyNode2Word -> 1))).toDF
+          Seq(TreesScripts.emptyNode2Word -> 1))).toDF()
           .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.xmltsvEmptySql)
@@ -334,7 +334,7 @@ object KgQueries {
         import s.implicits._
         val sents = KgOracle.detXmlDocs(s, dir)
           .flatMap(x => XmlTsvParser.parseDoc(x, KgOracle.detXmlCols))
-        Serializers.countXmlTriples(Pipeline.triples(sents).toDF)
+        Serializers.countXmlTriples(Pipeline.triples(sents).toDF())
       },
       Some(KgOracle.countXmlSql)
     ),
@@ -353,7 +353,7 @@ object KgQueries {
         val sents = KgOracle.detBracketDocs(s, dir)
           .flatMap(x => BracketsParser.parseDoc(x, KgOracle.detBracketCols))
         Pipeline.triples(Pipeline.rewrite(sents,
-          Seq(TreesScripts.tree2bracket -> 1))).toDF
+          Seq(TreesScripts.tree2bracket -> 1))).toDF()
           .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.bracketsSql)

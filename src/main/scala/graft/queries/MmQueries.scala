@@ -34,7 +34,7 @@ object MmQueries {
       "mm_media_meta",
       (s, dir) =>
         Multimodal.extractMeta(
-            Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF
+            Multimodal.mediaFromDocuments(Tables.documents(s, dir))).toDF()
           .orderBy(col("media_ref")),
       Some(s"""$mediaCte
         SELECT media_ref, 'image' AS kind,

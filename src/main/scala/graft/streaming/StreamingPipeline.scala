@@ -32,7 +32,7 @@ object StreamingPipeline {
       .schema(implicitly[org.apache.spark.sql.Encoder[InputDoc]].schema)
       .parquet(inputDir)
       .as[InputDoc]
-    Pipeline.triples(Pipeline.rewrite(Pipeline.parse(docs, cols), scripts)).toDF
+    Pipeline.triples(Pipeline.rewrite(Pipeline.parse(docs, cols), scripts)).toDF()
   }
 
   /** Windowed event aggregation with watermarking (late-data handling) —

@@ -20,7 +20,7 @@ object EvalProbe {
     val parsed = () => Pipeline.parse(graft.queries.KgOracle.detDocs(spark, dir), graft.queries.KgOracle.detCols)
     t("cascade 1")(Pipeline.triples(Pipeline.rewrite(parsed(), Pipeline.analyzeCascade)).count())
     t("cascade 2")(Pipeline.triples(Pipeline.rewrite(parsed(), Pipeline.analyzeCascade)).count())
-    def tri = Pipeline.triples(Pipeline.rewrite(parsed(), Pipeline.analyzeCascade)).toDF
+    def tri = Pipeline.triples(Pipeline.rewrite(parsed(), Pipeline.analyzeCascade)).toDF()
     t("agg 1")(Serializers.evalPossyntSelect(tri).count())
     t("agg 2")(Serializers.evalPossyntSelect(tri).count())
     t("agg 3")(Serializers.evalPossyntSelect(tri).count())

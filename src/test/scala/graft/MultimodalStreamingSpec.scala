@@ -32,7 +32,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(media, stepMs = 5000L).cache()
     assert(frames.count() > 0)
     val joined = frames.groupBy($"media_ref").agg(countDistinct($"frame_idx").as("n"))
-      .join(Multimodal.extractMeta(media).toDF, "media_ref")
+      .join(Multimodal.extractMeta(media).toDF(), "media_ref")
     // frame count matches decoded duration
     assert(joined.filter($"n" =!= greatest(lit(1), ($"duration_ms" / 5000).cast("long"))).count() == 0)
     frames.unpersist()
@@ -94,7 +94,7 @@ class MultimodalStreamingSpec extends AnyFunSuite {
     val input = MemoryStream[(String, String, java.sql.Timestamp)]
     val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
     val deduped = StreamingPipeline.streamDedup(
-      input.toDF.toDF("doc_id", "text", "ts"))
+      input.toDF().toDF("doc_id", "text", "ts"))
     val q = deduped.writeStream.format("memory").queryName("dedup_stream")
       .outputMode("append").start()
     try {

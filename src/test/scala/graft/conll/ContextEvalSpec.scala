@@ -49,7 +49,7 @@ class ContextEvalSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = DocGen.docs(spark, 8)
     val t = Pipeline.triples(
-      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).toDF
+      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).toDF()
     val eval = Serializers.evalPossyntSelect(t).cache()
     assert(eval.count() > 0)
     // every row has word/upos/udep/match; match is "1" or "0"
@@ -71,7 +71,7 @@ class ContextEvalSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = DocGen.docs(spark, 30)
     val t = Pipeline.triples(
-      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).toDF
+      Pipeline.rewrite(Pipeline.parse(docs, DocGen.columns), Pipeline.analyzeCascade)).toDF()
     def naiveCat(pred: String, as: String) =
       t.filter(col("pred") === pred)
         .groupBy(col("doc_id"), col("sent"), col("subj"))

@@ -32,7 +32,7 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = DocGen.docs(spark, 15)
     val out = Pipeline.docsOut(docs, DocGen.columns, Pipeline.analyzeCascade)
-    val in = docs.toDF.select($"doc_id", $"spans".as("spans_in"))
+    val in = docs.toDF().select($"doc_id", $"spans".as("spans_in"))
     val joined = out.join(in, "doc_id")
     assert(joined.filter(not($"spans" <=> $"spans_in")).count() == 0)
     assert(out.filter($"n_triples".isNull || $"n_triples" === 0).count() == 0)
@@ -41,7 +41,7 @@ class PipelineSpec extends AnyFunSuite {
   test("entity linking: broadcast and salted joins produce identical links") {
     import spark.implicits._
     val docs = DocGen.docs(spark, 10)
-    val t = Pipeline.triples(Pipeline.parse(docs, DocGen.columns)).toDF.cache()
+    val t = Pipeline.triples(Pipeline.parse(docs, DocGen.columns)).toDF().cache()
     val vocab = t.filter($"pred" === "conll:WORD").select($"obj".as("word"))
     val gaz = EntityLinker.gazetteerFromVocab(vocab).cache()
     val a = EntityLinker.linkBroadcast(t, gaz)

@@ -87,7 +87,7 @@ class PropertiesSpec extends AnyFunSuite {
       }
       val sents = SpanParser.parseDoc(InputDoc("dp", spans), cols)
       val t = spark.createDataset(sents.flatMap(s =>
-        s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+        s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF()
       val out = Serializers.toConllTsv(t, cols)
         .orderBy($"tok")
         .select($"ID", $"WORD", $"UPOS", $"EDGE")

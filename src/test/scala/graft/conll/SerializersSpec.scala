@@ -60,7 +60,7 @@ class SerializersSpec extends AnyFunSuite {
     val sents = sentences(rows)
     val t = spark.createDataset(sents.flatMap(s =>
       s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri))))
-    val out = Serializers.toConllTsv(t.toDF, cols)
+    val out = Serializers.toConllTsv(t.toDF(), cols)
       .orderBy($"sent", $"tok")
       .select($"ID", $"WORD", $"UPOS", $"HEAD", $"EDGE")
       .as[(String, String, String, String, String)]
@@ -77,7 +77,7 @@ class SerializersSpec extends AnyFunSuite {
       TripleRow("d1", 1L, ":s1_1", "conll:UPOS", "NOUN", false),
       TripleRow("d1", 1L, ":s1_1", "conll:UPOS", "PROPN", false)
     ).toDS
-    val out = Serializers.toConllTsv(t.toDF, Seq("WORD", "UPOS", "EDGE")).collect().head
+    val out = Serializers.toConllTsv(t.toDF(), Seq("WORD", "UPOS", "EDGE")).collect().head
     assert(out.getAs[String]("UPOS") == "NOUN|PROPN")
     assert(out.getAs[String]("EDGE") == "_")
   }
@@ -92,7 +92,7 @@ class SerializersSpec extends AnyFunSuite {
       "2\tnos\tPRON\t1\tobj")
     val sents = sentences(rows)
     val t = spark.createDataset(sents.flatMap(s =>
-      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF()
     val out = Serializers.toConllTsv(t, cols)
     assert(out.count() == 3)
     assert(out.filter($"ID" === "1-2" && $"WORD" === "vamonos").count() == 1)
@@ -113,7 +113,7 @@ class SerializersSpec extends AnyFunSuite {
     // declared columns deliberately wrong — the comment overrides (S5)
     val sents = SpanParser.parseDoc(doc, Seq("ID", "WORD"))
     val t = spark.createDataset(sents.flatMap(s =>
-      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF()
     assert(Serializers.discoverColumns(t) == Seq("WORD", "POS"))
     // CLI list > comment; empty list → comment discovery — both exports match
     val explicit = Serializers.toConllTsv(t, Seq("WORD", "POS")).collect().toSeq

@@ -17,7 +17,7 @@ class SkewSpec extends AnyFunSuite {
       if (i % 2 == 0) "the" else s"w${i % 37}")
     val triples = words.zipWithIndex.map { case (w, i) =>
       TripleRow("d1", 1L + i / 40, s":s${1 + i / 40}_${i % 40 + 1}", "conll:WORD", w, false)
-    }.toDS.toDF
+    }.toDS.toDF()
     val gaz = EntityLinker.gazetteerFromVocab(
       words.distinct.toDF("word"))
 
@@ -56,8 +56,8 @@ class SkewSpec extends AnyFunSuite {
     }.toDS
     val gaz = EntityLinker.gazetteerFromVocab(words.distinct.toDF("word"))
     val fused = EntityLinker.linkUnioned(triples, gaz)
-    val reference = triples.toDF.unionByName(
-      EntityLinker.linkBroadcast(triples.toDF, gaz))
+    val reference = triples.toDF().unionByName(
+      EntityLinker.linkBroadcast(triples.toDF(), gaz))
     assert(fused.exceptAll(reference).isEmpty && reference.exceptAll(fused).isEmpty)
     // broadcastMax below the gazetteer size → the salted-union regime,
     // same result set

@@ -98,8 +98,8 @@ class TtlRoundtripSpec extends AnyFunSuite {
         (id, Serializers.toCanonicalTtlDocument(sents.toSeq, DocGen.columns, s"urn:graft:$id#"))
       }
     val viaTtl = Pipeline.rewriteTriples(Pipeline.parseTtl(ttlDocs), Pipeline.analyzeCascade)
-    assert(direct.toDF.exceptAll(viaTtl.toDF).isEmpty)
-    assert(viaTtl.toDF.exceptAll(direct.toDF).isEmpty)
+    assert(direct.toDF().exceptAll(viaTtl.toDF()).isEmpty)
+    assert(viaTtl.toDF().exceptAll(direct.toDF()).isEmpty)
   }
 
   test("K2 text rendering: global.columns header + TAB rows + sentence breaks") {
@@ -111,7 +111,7 @@ class TtlRoundtripSpec extends AnyFunSuite {
     }
     val sents = SpanParser.parseDoc(InputDoc("d", spans), cols)
     val t = spark.createDataset(sents.flatMap(s =>
-      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF()
     val text = Serializers.toConllText(t, Seq("ID", "WORD", "UPOS"))
       .select($"text").as[String].head()
     assert(text ==

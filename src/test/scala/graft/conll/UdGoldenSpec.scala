@@ -123,7 +123,7 @@ class UdGoldenSpec extends AnyFunSuite {
         Pipeline.analyzeCascade.foreach { case (sc, n) => sc.run(g, n) }
         SentGraph.toSentence(s.docId, s.sent, s.comments, g) }
     val t = spark.createDataset(sents.flatMap(s =>
-      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF()
     val rows = Serializers.evalPossyntSelect(t)
       .orderBy($"sent", $"subj")
       .select($"word", $"upos", $"udep", $"POSsynt_UPOS", $"POSsynt_UDEP", $"match")
@@ -144,7 +144,7 @@ class UdGoldenSpec extends AnyFunSuite {
     import spark.implicits._
     val sents = SpanParser.parseDoc(docOf(lines.take(8)), convertCols)
     val t = spark.createDataset(sents.flatMap(s =>
-      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF
+      s.triples.map(tr => TripleRow(s.docId, s.sent, tr.s, tr.p, tr.o, tr.oUri)))).toDF()
     val out = Serializers.toConllTsv(t, Seq("ID", "WORD", "LEMMA", "FEAT"))
       .orderBy($"sent", $"tok")
       .select($"ID", $"WORD", $"LEMMA", $"FEAT")
