@@ -312,14 +312,21 @@ object KgOracle {
 
   val detParseCols: Seq[String] = Seq("ID", "WORD", "LEMMA", "POS", "HEAD")
 
-  /** Seven fixed POS patterns, cycled sentence-by-sentence. Together they
-    * fire EVERY rule of REDUCE-english-{1..4} (ParseScripts):
-    * P0 (3)(4)(8)(9); P1 (4)(6)(8)(9)(10); P2 (6)(7)(8)(10); P3 (1)(8)
-    * (12)(13); P4 (2)(3)(4)(5)(8)(9); P5 (0a)(9)(11) + rule (8) firing in
-    * fixpoint iteration 2; P6 is an 8-noun chain that EXHAUSTS rule (1)'s
-    * iteration budget (needs 7, gets the reference's {5}) — oracling the
-    * budget-capped fixpoint and the residual conll:SHIFT edges it leaves.
-    * Words come from the document text; only POS (and the two forced
+  /** Ten fixed POS patterns, cycled sentence-by-sentence. Together they
+    * fire EVERY rule of REDUCE-english-{1..4} (ParseScripts), most in
+    * several branch variants:
+    * P0 (3)(4)(8)(9); P1 (4)(6)(8)(9)(10-b2); P2 (6)(7-branchA)(8)
+    * (10-b1); P3 (1)(8)(12)(13, next absent); P4 (2)(3)(4)(5)(8)(9);
+    * P5 (0a)(9)(11-b1) + rule (8) firing in fixpoint iteration 2;
+    * P6 an 8-noun chain that EXHAUSTS rule (1)'s iteration budget
+    * (needs 7, gets the reference's {5}) — oracling the budget-capped
+    * fixpoint and its residual conll:SHIFT edges;
+    * P7 (6)×2 then (7-branchB): the of-PP hangs off an ALREADY-REDUCED
+    * preposition, and with no verb the chain head strands a SHIFT edge;
+    * P8 (6-Pronoun dep)(9-Pronoun obj)(11-b2: preverbal completed PP);
+    * P9 (2-Gerund head)(12)(13) with a FOLLOWING token, exercising the
+    * to-clause SHIFT rewires and leaving the unreduced object chain.
+    * Words come from the document text; only POS (and the forced
     * function lemmas) are pattern-fixed. */
   val parsePos: Vector[Vector[String]] = Vector(
     Vector("DT", "JJ", "NN", "VBZ", "DT", "NN"),
@@ -328,12 +335,16 @@ object KgOracle {
     Vector("NN", "NN", "VBZ", "TO", "VB"),
     Vector("DT", "RB", "JJ", "NN", "VBZ", "CD", "NN"),
     Vector("NN", "HYPH", "NN", "RB", "VBZ", "NN"),
-    Vector("NN", "NN", "NN", "NN", "NN", "NN", "NN", "NN", "VBZ", "NN"))
+    Vector("NN", "NN", "NN", "NN", "NN", "NN", "NN", "NN", "VBZ", "NN"),
+    Vector("NN", "IN", "NN", "IN", "NN"),
+    Vector("IN", "PRP", "VBZ", "PRP"),
+    Vector("RB", "VBG", "VBZ", "TO", "VB", "NN"))
 
   /** Forced lemmas — rules (7)/(12)/(13) match on LEMMA literals "of"/
     * "to"; every other token gets lemma 'l'+word so no corpus word can
     * collide with those guards. */
-  val parseLemmaForced: Map[(Int, Int), String] = Map((2, 2) -> "of", (3, 4) -> "to")
+  val parseLemmaForced: Map[(Int, Int), String] =
+    Map((2, 2) -> "of", (3, 4) -> "to", (7, 4) -> "of", (9, 4) -> "to")
 
   /** HAND-DERIVED converged SR output per pattern: tid → (headTid, edge).
     * Derivation: initialize-SHIFT + REDUCE-english-{1..4} (budgets
@@ -360,13 +371,30 @@ object KgOracle {
     // predecessor 2 is a Noun — the npClasses guard); rule (9) takes
     // the object.
     Map(3 -> (8, "nmod"), 4 -> (8, "nmod"), 5 -> (8, "nmod"),
-      6 -> (8, "nmod"), 7 -> (8, "nmod"), 10 -> (9, "obj")))
+      6 -> (8, "nmod"), 7 -> (8, "nmod"), 10 -> (9, "obj")),
+    // P7: both preps take np complements in one snapshot (3→2, 5→4);
+    // then (7) branchB attaches the of-prep 4 to the REDUCED noun 3
+    // (del(3 SHIFT 4) is a no-op — 3 left the chain; del(2 SHIFT 4)
+    // does the work). No verb → token 1 keeps SHIFT to 2.
+    Map(3 -> (2, "np"), 4 -> (3, "nmod"), 5 -> (4, "np")),
+    // P8: (6) pronoun-dep branch (2→1 np, no next guard), (9) pronoun
+    // object (4→3), then (11) b2: prep 1 is a completed PP (has a
+    // REDUCE child, lemma != of) preceding the finite verb → adv.
+    Map(1 -> (3, "adv"), 2 -> (1, "np"), 4 -> (3, "obj")),
+    // P9: (2) reduces the adverb into the GERUND head; (12) takes the
+    // to-clause with next=6 present (4 SHIFT 6 rewire), (13) attaches
+    // to the matrix verb with next present (3 SHIFT 6 rewire); nothing
+    // consumes the final noun → SHIFT strands 2→3 and 3→6.
+    Map(1 -> (2, "amod"), 4 -> (3, "to"), 5 -> (4, "cls")))
 
-  /** Residual conll:SHIFT edges per pattern — what the budget-capped
-    * cascade leaves unconsumed (P0–P5: none; P6: the stranded chain). */
+  /** Residual conll:SHIFT edges per pattern — what the budget-capped or
+    * verbless cascades leave unconsumed. */
   val parseShiftLeft: Vector[Seq[(Int, Int)]] = Vector(
     Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty,
-    Seq(1 -> 2, 2 -> 8, 8 -> 9))
+    Seq(1 -> 2, 2 -> 8, 8 -> 9),
+    Seq(1 -> 2),
+    Seq.empty,
+    Seq(2 -> 3, 3 -> 6))
 
   /** Cumulative pattern offsets within one 35-token cycle. */
   val parseOffsets: Vector[Int] = parsePos.scanLeft(0)(_ + _.length)
