@@ -325,7 +325,10 @@ object KgOracle {
     * preposition, and with no verb the chain head strands a SHIFT edge;
     * P8 (6-Pronoun dep)(9-Pronoun obj)(11-b2: preverbal completed PP);
     * P9 (2-Gerund head)(12)(13) with a FOLLOWING token, exercising the
-    * to-clause SHIFT rewires and leaving the unreduced object chain.
+    * to-clause SHIFT rewires and leaving the unreduced object chain;
+    * P10 (10-b3 ONLY, next present): a completed non-of PP after the
+    * verb rewires 2 SHIFT 5, whose adverb then reduces via (10-b1) in
+    * fixpoint iteration 2.
     * Words come from the document text; only POS (and the forced
     * function lemmas) are pattern-fixed. */
   val parsePos: Vector[Vector[String]] = Vector(
@@ -338,7 +341,8 @@ object KgOracle {
     Vector("NN", "NN", "NN", "NN", "NN", "NN", "NN", "NN", "VBZ", "NN"),
     Vector("NN", "IN", "NN", "IN", "NN"),
     Vector("IN", "PRP", "VBZ", "PRP"),
-    Vector("RB", "VBG", "VBZ", "TO", "VB", "NN"))
+    Vector("RB", "VBG", "VBZ", "TO", "VB", "NN"),
+    Vector("PRP", "VBZ", "IN", "NN", "RB"))
 
   /** Forced lemmas — rules (7)/(12)/(13) match on LEMMA literals "of"/
     * "to"; every other token gets lemma 'l'+word so no corpus word can
@@ -385,7 +389,12 @@ object KgOracle {
     // to-clause with next=6 present (4 SHIFT 6 rewire), (13) attaches
     // to the matrix verb with next present (3 SHIFT 6 rewire); nothing
     // consumes the final noun → SHIFT strands 2→3 and 3→6.
-    Map(1 -> (2, "amod"), 4 -> (3, "to"), 5 -> (4, "cls")))
+    Map(1 -> (2, "amod"), 4 -> (3, "to"), 5 -> (4, "cls")),
+    // P10: (6) completes the PP (4→3 np, 3 SHIFT rewired to 5), (8)
+    // takes the pronoun subject; (10) fires on b3 ALONE (next present,
+    // the PP's shifted object is not "of") rewiring 2 SHIFT 5, and
+    // iteration 2's (10-b1) reduces the now-postverbal adverb.
+    Map(1 -> (2, "sbj"), 3 -> (2, "adv"), 4 -> (3, "np"), 5 -> (2, "adv")))
 
   /** Residual conll:SHIFT edges per pattern — what the budget-capped or
     * verbless cascades leave unconsumed. */
@@ -394,7 +403,8 @@ object KgOracle {
     Seq(1 -> 2, 2 -> 8, 8 -> 9),
     Seq(1 -> 2),
     Seq.empty,
-    Seq(2 -> 3, 3 -> 6))
+    Seq(2 -> 3, 3 -> 6),
+    Seq.empty)
 
   /** Cumulative pattern offsets within one 35-token cycle. */
   val parseOffsets: Vector[Int] = parsePos.scanLeft(0)(_ + _.length)
