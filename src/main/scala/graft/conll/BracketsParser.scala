@@ -34,11 +34,40 @@ object BracketsParser {
     maybe.map(_.getOrElse(false))
   }
 
-  /** getTTL (CoNLLBrackets2RDF.java:163-198) with default-URI minting. */
+  /** Span-URI minting (CoNLLBracketsWithSpanURIs2RDF.java:32-53): a
+    * node's URI is `{firstTokenURI}_{lastTokenURI-sans-colon}` — NIF
+    * style, so co-extensional (non-branching) nodes MERGE into one URI
+    * (the reference documents this as lossy). Faithfully reproduced
+    * quirks: the `last` scan runs one line past the balancing ')' and
+    * only walks back while that line is NOT a token URI — so when the
+    * line right after the close is the next token, that token leaks
+    * into the span (e.g. `(S w1 (NP w2 w3) w4)` gives NP the URI
+    * `:s1_2_s1_4`, hand-traced). One divergence: a trailing token-less
+    * bracket AIOOBEs the reference (`lines[first]` at length); we clamp
+    * to the last line instead. */
+  private def spanUri(lines: Array[String], i: Int): String = {
+    var first = i
+    while (first < lines.length && !lines(first).startsWith(":")) first += 1
+    if (first == lines.length) first -= 1
+    while (first > 0 && !lines(first).startsWith(":")) first -= 1
+    var last = i + 1
+    var open = 1
+    while (last < lines.length && open > 0) {
+      open += lines(last).count(_ == '(') - lines(last).count(_ == ')')
+      last += 1
+    }
+    if (last == lines.length) last -= 1
+    while (last > 0 && !lines(last).startsWith(":")) last -= 1
+    lines(first) + "_" + lines(last).replaceAll(".*:", "")
+  }
+
+  /** getTTL (CoNLLBrackets2RDF.java:163-198); URI minting selects the
+    * default counter strategy or span URIs. */
   private def treeTriples(
       entries: Seq[String],
       col: String,
-      counter: mutable.Map[String, Int]
+      counter: mutable.Map[String, Int],
+      spanUris: Boolean
   ): Seq[Triple] = {
     // re-split at parens: each '(' starts a line, each ')' ends one
     val lines = entries.mkString("\n")
@@ -47,7 +76,8 @@ object BracketsParser {
     val out = mutable.LinkedHashSet[Triple]()
     val nodes = mutable.Stack[String]()
     var lastSibling: String = null
-    for (n <- lines) {
+    for (i <- lines.indices) {
+      val n = lines(i)
       if (n.startsWith(":")) {
         if (nodes.nonEmpty) {
           if (lastSibling != null) out += Triple(lastSibling, "powla:next", n, oUri = true)
@@ -55,9 +85,13 @@ object BracketsParser {
           lastSibling = n
         }
       } else if (n.startsWith("(")) {
-        val k = counter.getOrElse(col, 0) + 1
-        counter(col) = k
-        val uri = s":b${col}_$k"
+        val uri =
+          if (spanUris) spanUri(lines, i)
+          else {
+            val k = counter.getOrElse(col, 0) + 1
+            counter(col) = k
+            s":b${col}_$k"
+          }
         val v = n.replaceFirst("^\\(", "").trim
         if (lastSibling != null && nodes.nonEmpty)
           out += Triple(lastSibling, "powla:next", uri, oUri = true)
@@ -74,7 +108,7 @@ object BracketsParser {
     out.toSeq
   }
 
-  def parseDoc(doc: InputDoc, cols: Seq[String]): Seq[Sentence] = {
+  def parseDoc(doc: InputDoc, cols: Seq[String], spanUris: Boolean = false): Seq[Sentence] = {
     val meta = new SpanParser.SchemaMeta(cols.toVector)
     val tokenRows = doc.spans.sortBy(_.offset)
       .filter(s => s.kind == "token" && s.text.trim.nonEmpty && !s.text.trim.startsWith("#"))
@@ -95,7 +129,7 @@ object BracketsParser {
         val base = SpanParser.buildSentence(doc.doc_id, sent, rows.toSeq, Seq.empty, meta,
           linkPrev = sent > 1L)
         val trees = colEntries.toSeq.sortBy(_._1).flatMap { case (i, entries) =>
-          treeTriples(entries.toSeq, colLabel(i), uriCounter)
+          treeTriples(entries.toSeq, colLabel(i), uriCounter, spanUris)
         }
         sentences += base.copy(triples = base.triples ++ trees)
         sent += 1; tok = 0

@@ -511,21 +511,10 @@ object KgOracle {
       }
   }
 
-  /** Full triple table of the brackets→powla→tree2bracket roundtrip:
-    * CoNLL core (WORD, POS, default HEAD → sentence node — no HEAD
-    * column, CoNLL2RDF.java:154-155) + the closed-form conll:PARSE
-    * bracket literal. */
-  def bracketsSql: String = {
-    val subj = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+  /** Shared bracket-corpus CTE: btk (4-token chunks), tok4 (+pos/shape),
+    * bsents (one row per sentence with its shape). */
+  private def bracketCteSql: String = {
     val hex07 = "('0','1','2','3','4','5','6','7')"
-    val parseCase = {
-      val branches = bracketParse.zipWithIndex.map { case (ps, sh) =>
-        val inner = ps.zipWithIndex
-          .map { case (b, t) => s"WHEN ${t + 1} THEN '$b'" }.mkString(" ")
-        s"WHEN $sh THEN CASE tid $inner END"
-      }.mkString(" ")
-      s"CASE shape $branches END"
-    }
     s"""WITH btk AS MATERIALIZED (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id,
              (i-1) // $BRACKET_LEN + 1 AS sent, (i-1) % $BRACKET_LEN + 1 AS tid, w AS word
@@ -540,16 +529,106 @@ object KgOracle {
                (PARTITION BY doc_id, sent ORDER BY tid)),1,1) IN $hex07
                THEN 0 ELSE 1 END AS shape
       FROM btk
-    )
-    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
-      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok4
+    ), bsents AS (SELECT DISTINCT doc_id, sent, shape FROM tok4)"""
+  }
+
+  /** CoNLL core branches of the bracket corpus (WORD, POS, default
+    * HEAD → sentence node — no HEAD column, CoNLL2RDF.java:154-155). */
+  private def bracketBaseBranches: String = {
+    val subj = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+    s"""SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tok4
       UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tok4 WHERE sent > 1
       UNION ALL SELECT doc_id, sent, $subj, 'rdf:type', 'nif:Word', TRUE FROM tok4
       UNION ALL SELECT doc_id, sent, $subj, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM tok4 WHERE tid < $BRACKET_LEN
       UNION ALL SELECT doc_id, sent, $subj, 'conll:WORD', word, FALSE FROM tok4
       UNION ALL SELECT doc_id, sent, $subj, 'conll:POS', pos, FALSE FROM tok4
-      UNION ALL SELECT doc_id, sent, $subj, 'conll:HEAD', $sentNodeSql, TRUE FROM tok4
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:HEAD', $sentNodeSql, TRUE FROM tok4"""
+  }
+
+  /** Full triple table of the brackets→powla→tree2bracket roundtrip:
+    * CoNLL core + the closed-form conll:PARSE bracket literal. */
+  def bracketsSql: String = {
+    val subj = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+    val parseCase = {
+      val branches = bracketParse.zipWithIndex.map { case (ps, sh) =>
+        val inner = ps.zipWithIndex
+          .map { case (b, t) => s"WHEN ${t + 1} THEN '$b'" }.mkString(" ")
+        s"WHEN $sh THEN CASE tid $inner END"
+      }.mkString(" ")
+      s"CASE shape $branches END"
+    }
+    s"""$bracketCteSql
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      $bracketBaseBranches
       UNION ALL SELECT doc_id, sent, $subj, 'conll:PARSE', $parseCase, FALSE FROM tok4
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+  }
+
+  /** HAND-DERIVED span-URI powla tree per shape
+    * (CoNLLBracketsWithSpanURIs2RDF.java:32-53 getURI traced over the
+    * det cells; '%' is the sentence number). Shape 0
+    * `(S (NP w1 w2) (VP w3 w4))`: S=:s%_1_s%_4, NP=:s%_1_s%_2,
+    * VP=:s%_3_s%_4. Shape 1 `(S w1 (NP w2 w3) w4)`: S=:s%_1_s%_4 and —
+    * faithfully to the reference's last-scan overshoot — NP=:s%_2_s%_4
+    * (the line after NP's close is token 4's URI, so it leaks into the
+    * span; trace in BracketsDetSpec). */
+  val bracketSpanTpl: Vector[(Int, String, String, String, Boolean)] = {
+    val A = ":s%_1_s%_4"; val B0 = ":s%_1_s%_2"; val C0 = ":s%_3_s%_4"; val B1 = ":s%_2_s%_4"
+    def tok(t: Int) = s":s%_$t"
+    Vector(
+      // shape 0
+      (0, A, "rdf:type", "powla:Node", true),
+      (0, A, "rdf:type", "conll:PARSE", true),
+      (0, A, "rdf:value", "S", false),
+      (0, B0, "rdf:type", "powla:Node", true),
+      (0, B0, "rdf:type", "conll:PARSE", true),
+      (0, B0, "powla:hasParent", A, true),
+      (0, B0, "rdf:value", "NP", false),
+      (0, tok(1), "powla:hasParent", B0, true),
+      (0, tok(1), "powla:next", tok(2), true),
+      (0, tok(2), "powla:hasParent", B0, true),
+      (0, B0, "powla:next", C0, true),
+      (0, C0, "rdf:type", "powla:Node", true),
+      (0, C0, "rdf:type", "conll:PARSE", true),
+      (0, C0, "powla:hasParent", A, true),
+      (0, C0, "rdf:value", "VP", false),
+      (0, tok(3), "powla:hasParent", C0, true),
+      (0, tok(3), "powla:next", tok(4), true),
+      (0, tok(4), "powla:hasParent", C0, true),
+      // shape 1
+      (1, A, "rdf:type", "powla:Node", true),
+      (1, A, "rdf:type", "conll:PARSE", true),
+      (1, A, "rdf:value", "S", false),
+      (1, tok(1), "powla:hasParent", A, true),
+      (1, tok(1), "powla:next", B1, true),
+      (1, B1, "rdf:type", "powla:Node", true),
+      (1, B1, "rdf:type", "conll:PARSE", true),
+      (1, B1, "powla:hasParent", A, true),
+      (1, B1, "rdf:value", "NP", false),
+      (1, tok(2), "powla:hasParent", B1, true),
+      (1, tok(2), "powla:next", tok(3), true),
+      (1, tok(3), "powla:hasParent", B1, true),
+      (1, B1, "powla:next", tok(4), true),
+      (1, tok(4), "powla:hasParent", A, true)
+    )
+  }
+
+  /** Full triple table of the brackets source under SPAN-URI minting
+    * (no tree2bracket — the powla tree stays): CoNLL core + the
+    * hand-derived per-shape tree with span-URI nodes. */
+  def bracketsSpanSql: String = {
+    val values = bracketSpanTpl.map { case (sh, s, p, o, u) =>
+      s"($sh, '$s', '$p', '$o', ${if (u) "TRUE" else "FALSE"})"
+    }.mkString(", ")
+    s"""$bracketCteSql,
+    span_tpl(shape, subjt, pred, objt, obju) AS (VALUES $values)
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      $bracketBaseBranches
+      UNION ALL SELECT b.doc_id, b.sent,
+        replace(t.subjt, '%', CAST(b.sent AS VARCHAR)), t.pred,
+        CASE WHEN t.obju THEN replace(t.objt, '%', CAST(b.sent AS VARCHAR)) ELSE t.objt END,
+        t.obju
+      FROM bsents b JOIN span_tpl t ON t.shape = b.shape
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
   }
 

@@ -379,6 +379,25 @@ object KgQueries {
           .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.bracketsSql)
+    ),
+    Q(
+      // S8, SPAN-URI minting strategy
+      // (CoNLLBracketsWithSpanURIs2RDF.java:32-53): bracket nodes are
+      // named by their first/last contained token URIs — the NIF-style
+      // variant that makes constituency nodes joinable with token spans
+      // downstream. Same det corpus, no tree2bracket (the tree stays);
+      // driver-hash-checked against the hand-derived per-shape tree
+      // incl. the reference's last-scan overshoot (KgOracle
+      // .bracketSpanTpl; traces in BracketsDetSpec).
+      "kg_brackets_spanuri",
+      (s, dir) => {
+        import s.implicits._
+        val sents = KgOracle.detBracketDocs(s, dir)
+          .flatMap(x => BracketsParser.parseDoc(x, KgOracle.detBracketCols, spanUris = true))
+        Pipeline.triples(sents).toDF()
+          .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.bracketsSpanSql)
     )
   )
 }

@@ -75,6 +75,55 @@ class BracketsDetSpec extends AnyFunSuite {
     }
   }
 
+  /** Span-URI mode: base core minus the PARSE literal (no tree2bracket —
+    * the tree stays) plus the hand-derived per-shape span-URI tree. */
+  private def expectedSpanTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] = {
+    val base = expectedTriples(n, shape, ws).filterNot(_.p == "conll:PARSE")
+    val tree = KgOracle.bracketSpanTpl.collect {
+      case (sh, s, p, o, u) if sh == shape =>
+        Triple(s.replace("%", n.toString), p,
+          if (u) o.replace("%", n.toString) else o, oUri = u)
+    }
+    base ++ tree
+  }
+
+  for (shape <- 0 to 1) {
+    test(s"shape $shape span URIs == hand-derived trace (incl. the last-scan overshoot)") {
+      val first = (1 to 100).map(i => s"w$i")
+        .find(w => KgOracle.bracketShapeOf(w) == shape).get
+      val ws = Array(first, "xa", "xb", "xc")
+      val sents = BracketsParser.parseDoc(
+        InputDoc("d1", KgOracle.bracketSpansFor(ws)), KgOracle.detBracketCols,
+        spanUris = true)
+      val got = sents.head.triples.toSet
+      val exp = expectedSpanTriples(1, shape, ws.toSeq)
+      val extra = got -- exp
+      val missing = exp -- got
+      assert(extra.isEmpty && missing.isEmpty,
+        s"\nextra=${extra.toSeq.sortBy(t => (t.s, t.p, t.o)).mkString("\n  ", "\n  ", "")}" +
+          s"\nmissing=${missing.toSeq.sortBy(t => (t.s, t.p, t.o)).mkString("\n  ", "\n  ", "")}")
+    }
+  }
+
+  test("span URIs merge co-extensional nodes (the reference's documented lossy case)") {
+    // (A (B w1 w2)) — A and B span the same tokens, so both mint
+    // :s1_1_s1_2: one node carries both rdf:values and a self
+    // powla:hasParent (getTTL emits B hasParent stack-top == itself).
+    val d = InputDoc("d1", Seq(
+      Span("token", "w1\tN\t(A(B*", "", 0),
+      Span("token", "w2\tN\t*))", "", 1)))
+    val t = BracketsParser.parseDoc(d, Seq("WORD", "POS", "PARSE"), spanUris = true)
+      .head.triples.toSet
+    val u = ":s1_1_s1_2"
+    assert(t.contains(Triple(u, "rdf:value", "A", false)))
+    assert(t.contains(Triple(u, "rdf:value", "B", false)))
+    assert(t.contains(Triple(u, "powla:hasParent", u, true)))
+    assert(t.contains(Triple(":s1_1", "powla:hasParent", u, true)))
+    assert(t.contains(Triple(":s1_2", "powla:hasParent", u, true)))
+    // and no other node URIs exist
+    assert(!t.exists(tr => tr.s.startsWith(":b") || tr.o.startsWith(":b")))
+  }
+
   test("multi-sentence doc: per-doc URI counter leaves no residue; chain intact") {
     // 9 words → 2 sentences (trailing word dropped)
     val ws = (1 to 9).map(i => s"w$i").toArray

@@ -119,6 +119,32 @@ class TreeSourcesSpec extends AnyFunSuite {
     assert(t.contains(Triple(":s1_17", "conll:WORD", "*-1", false)))
   }
 
+  test("span URIs on the bundled bracketing.sample (hand-traced, incl. the overshoot quirk)") {
+    val lines = scala.io.Source.fromFile("/root/reference/data/bracketing.sample.conll")
+      .getLines().toVector
+    val d = InputDoc("ptb", lines.zipWithIndex.map { case (l, i) =>
+      val kind =
+        if (l.trim.isEmpty) "sentence_break"
+        else if (l.trim.startsWith("#")) "comment" else "token"
+      Span(kind, l, "", i)
+    })
+    val cols = Seq("WORD", "POS", "PARSE_ON", "POS", "PARSE_PTB")
+    val t = BracketsParser.parseDoc(d, cols, spanUris = true).head.triples
+    def valuesOf(node: String) = t.collect {
+      case Triple(`node`, "rdf:value", v, false) => v }.toSet
+    // PTB tree, hand-traced over the resplit line stream
+    // [(TOP,(S,(NP-SBJ,(NML,:s1_1,:s1_2,),:s1_3,:s1_4,),(VP,...]:
+    //  - NP-SBJ spans tokens 1-4 → :s1_1_s1_4 (walk-back from the (VP line)
+    //  - NML closes after token 2, but the reference's last-scan lands ON
+    //    the next token URI (:s1_3) and the walk-back never runs → the
+    //    quirky :s1_1_s1_3, faithfully reproduced
+    assert(valuesOf(":s1_1_s1_4").contains("NP-SBJ"))
+    assert(valuesOf(":s1_1_s1_3").contains("NML"))
+    assert(t.contains(Triple(":s1_1", "powla:hasParent", ":s1_1_s1_3", true)))
+    // no counter URIs in span mode
+    assert(!t.exists(tr => tr.s.startsWith(":b") || (tr.oUri && tr.o.startsWith(":b"))))
+  }
+
   test("tree2bracket on the real PTB sample reconstructs plausible brackets") {
     val lines = scala.io.Source.fromFile("/root/reference/data/bracketing.sample.conll")
       .getLines().toVector
