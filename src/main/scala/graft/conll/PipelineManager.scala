@@ -136,7 +136,7 @@ object PipelineManager {
         Pipeline.rewriteTriples(Pipeline.parse(docs, cfg.columns), cfg.updates))
         .toDF("line")
       // K5/K6 diagnostics: per-sentence renderers, narrow map
-      case "dot" | "grammar" | "debug" =>
+      case "dot" | "grammar" | "debug" | "semantics" =>
         val sents = Pipeline.rewrite(Pipeline.parse(docs, cfg.columns), cfg.updates)
         val outCols =
           if (cfg.formatColumns.nonEmpty) cfg.formatColumns else cfg.columns
@@ -147,6 +147,9 @@ object PipelineManager {
           case "grammar" =>
             sents.map(s => (s.docId, s.sent, Viz.asciiTree(s)))
               .toDF("doc_id", "sent", "grammar")
+          case "semantics" =>
+            sents.map(s => (s.docId, s.sent, Viz.termGraph(s)))
+              .toDF("doc_id", "sent", "semantics")
           case _ =>
             sents.map(s => (s.docId, s.sent,
                 Viz.colorTtl(Serializers.toCanonicalTtl(s, outCols))))

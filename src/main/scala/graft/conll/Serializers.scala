@@ -27,6 +27,7 @@ object Serializers {
     "rdfs:" -> "http://www.w3.org/2000/01/rdf-schema#",
     "owl:" -> "http://www.w3.org/2002/07/owl#",
     "olia:" -> "http://purl.org/olia/olia.owl#",
+    "terms:" -> "http://purl.org/acoli/open-ie/",
     "x:" -> "http://example.org/xml#"
   )
 

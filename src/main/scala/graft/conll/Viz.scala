@@ -12,6 +12,9 @@ import scala.collection.mutable
   *    word in nif:nextWord order with depth dots, head direction,
   *    edge dashes, annotations (blue-underlined rel names, red OLiA
   *    concepts, yellow-background open-ie terms);
+  *  - `termGraph` — the SEMANTICS mode's open-IE term graph
+  *    (CoNLLRDFFormatter.extractTermGraph, :330-415): sentence line +
+  *    per-subject degree headers + grouped predicate lines;
   *  - `toDot` — the GraphViz dump (CoNLLRDFViz.produceDot,
   *    CoNLLRDFViz.java:60-292): a CoNLLView cluster (words + their
   *    literal tables, HEAD edges labeled with conll:EDGE) and a
@@ -150,6 +153,78 @@ object Viz {
       sb.append(" ").append(annos(i)).append("\n")
     }
     sb.toString
+  }
+
+  /** K6 SEMANTICS renderer (extractTermGraph,
+    * CoNLLRDFFormatter.java:330-415): the open-IE term graph — the
+    * original sentence, then one block per subject of a terms:-flavored
+    * triple (`subject (in > node > out)`, degrees = distinct incoming/
+    * outgoing terms:-predicate edges — the reference's two degree
+    * subqueries become two hash maps per sentence), with predicate
+    * lines `\t r o` grouped by subject, `; o2` continuation on a
+    * repeated (s, r), rdf:type as `a` (suppressed entirely when
+    * `includeTermConcepts` is false, state still advancing — faithful
+    * to the reference's row loop), terms:* on yellow, rdfs:labels
+    * cyan-quoted. Row order mirrors the reference's
+    * `ORDER BY ?nr ?snr ?onr ?r ?s ?o` with nr/snr/onr the digit
+    * concatenations of the subject/object ids (unbound-first; computed
+    * on the local names, i.e. a digit-free base URI). */
+  def termGraph(sentence: Sentence, includeTermConcepts: Boolean = true): String = {
+    val g = SentGraph(sentence)
+    val base = s"urn:graft:${sentence.docId}#"
+    val sb = new StringBuilder
+    for (w <- chainOrder(g); word <- g.objects(w, "conll:WORD").headOption)
+      sb.append(word).append(" ")
+
+    // ?s ?r ?o rows: open-IE content, non-conll predicate (:358-360)
+    val rows = g.all.filter(t =>
+      !t.p.startsWith("conll:") &&
+        (t.p.startsWith("terms:") || (t.oUri && t.o.startsWith("terms:")))).distinct
+    // degree subqueries (:367-372): terms:-predicate edges only
+    val termTriples = g.all.filter(_.p.startsWith("terms:")).distinct
+    val outDeg = termTriples.groupBy(_.s).map { case (k, v) => k -> v.size }
+    val inDeg = termTriples.filter(_.oUri).groupBy(_.o).map { case (k, v) => k -> v.size }
+
+    def nrOf(x: String): Option[BigInt] = {
+      val d = x.replaceAll("[^0-9]", "")
+      if (d.isEmpty) None else Some(BigInt(d))
+    }
+    val sorted = rows.sortBy { t =>
+      val snr = nrOf(t.s)
+      val onr = if (t.oUri) nrOf(t.o) else None
+      val nr = if (snr.isEmpty) None else onr
+      (nr, snr, onr, Serializers.expand(t.p, base), Serializers.expand(t.s, base),
+        if (t.oUri) Serializers.expand(t.o, base) else t.o)
+    }
+
+    var s = ""; var r = ""; var o = ""
+    for (t <- sorted) {
+      var nextS = Serializers.expand(t.s, base).replaceAll(".*[#/]", "")
+      for (l <- g.objects(t.s, "rdfs:label").headOption)
+        nextS = nextS + " " + CYAN + "\"" + l + "\"" + RESET
+      if (nextS != s)
+        sb.append("\n").append(nextS).append(" (")
+          .append(inDeg.getOrElse(t.s, 0)).append(" > node > ")
+          .append(outDeg.getOrElse(t.s, 0)).append(")")
+      val nextR =
+        if (t.p == "rdf:type") "a"
+        else if (t.p.startsWith("terms:")) YLW_BK + t.p + RESET
+        else t.p
+      var nextO =
+        if (t.oUri && t.o.startsWith("terms:")) YLW_BK + t.o + RESET
+        else if (t.oUri) Serializers.expand(t.o, base).replaceAll("[^ \t]*[#/]", "")
+        else t.o.replaceAll("[^ \t]*[#/]", "")
+      if (t.oUri)
+        for (l <- g.objects(t.o, "rdfs:label").headOption)
+          nextO = nextO + " " + CYAN + "\"" + l + "\"" + RESET
+      if (nextR != "a" || includeTermConcepts) {
+        if (nextS != s || nextR != r) sb.append("\n\t").append(nextR)
+        else if (nextO != o) sb.append("; ")
+        if (nextS != s || nextR != r || nextO != o) sb.append(" ").append(nextO)
+      }
+      s = nextS; r = nextR; o = nextO
+    }
+    sb.append("\n").toString
   }
 
   /** K5 DOT dump (CoNLLRDFViz.produceDot): CoNLLView + GraphView

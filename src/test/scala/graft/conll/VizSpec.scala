@@ -53,6 +53,52 @@ class VizSpec extends AnyFunSuite {
     assert(tree.contains(Viz.RED + "olia:CommonNoun" + Viz.RESET))
   }
 
+  test("K6 SEMANTICS: termGraph renders degree headers, grouped rels, labels — exactly") {
+    val s3 = sentence(Seq(
+      "1\tJohn\tNOUN\t2\tsubj",
+      "2\twants\tVERB\t0\troot",
+      "3\tbeer\tNOUN\t2\tobj"))
+    val g = SentGraph(s3)
+    g.add(Triple(":s1_2", "rdf:type", "terms:want", oUri = true))
+    g.add(Triple(":s1_2", "terms:agent", ":s1_1", oUri = true))
+    g.add(Triple(":s1_2", "terms:theme", ":s1_3", oUri = true))
+    g.add(Triple(":s1_2", "terms:theme", ":s1_4", oUri = true))
+    g.add(Triple(":s1_1", "rdfs:label", "John", oUri = false))
+    val out = Viz.termGraph(SentGraph.toSentence("d1", 1L, Nil, g))
+    // Hand-derived against extractTermGraph's row loop: the rdf:type row
+    // sorts first (its ?nr is unbound), in/out count only
+    // terms:-predicate edges (rdf:type is rdf-ns → out = 3, not 4), the
+    // repeated (s, r) theme pair continues with ';'.
+    val exp = "John wants beer " +
+      "\ns1_2 (0 > node > 3)" +
+      "\n\ta " + Viz.YLW_BK + "terms:want" + Viz.RESET +
+      "\n\t" + Viz.YLW_BK + "terms:agent" + Viz.RESET +
+        " s1_1 " + Viz.CYAN + "\"John\"" + Viz.RESET +
+      "\n\t" + Viz.YLW_BK + "terms:theme" + Viz.RESET + " s1_3" +
+      ";  s1_4" + // the reference emits '; ' then ' '+o — two spaces, faithfully
+      "\n"
+    assert(out == exp, s"\ngot:\n${out.replace("\u001b", "<ESC>")}\nexp:\n${exp.replace("\u001b", "<ESC>")}")
+    // includeTermConcepts=false: the 'a terms:want' line is suppressed,
+    // the header still prints (the reference prints it before the check)
+    val noConcepts = Viz.termGraph(SentGraph.toSentence("d1", 1L, Nil, g),
+      includeTermConcepts = false)
+    assert(!noConcepts.contains("\ta "))
+    assert(noConcepts.contains("\ns1_2 (0 > node > 3)"))
+    assert(noConcepts.contains("terms:agent"))
+  }
+
+  test("K7 manager: SEMANTICS mode produces per-sentence term-graph rows") {
+    val spark = graft.TestSpark.spark
+    val rows = PipelineManager.run(spark,
+      """{"input": {"docs": 3}, "pipeline": [
+            {"class": "CoNLLStreamExtractor"},
+            {"class": "CoNLLRDFFormatter", "mode": "SEMANTICS"}]}""").collect()
+    // no terms: triples in the generated corpus → sentence line only,
+    // but one row per sentence with the trailing newline contract
+    assert(rows.nonEmpty)
+    assert(rows.head.getString(2).endsWith("\n"))
+  }
+
   test("K5 DOT: both clusters, labeled HEAD edge, rank groups, anchors") {
     val dot = Viz.toDot(s)
     assert(dot.startsWith("digraph {\ncharset=\"utf-8\";\n"))
