@@ -85,6 +85,39 @@ class TtlRoundtripSpec extends AnyFunSuite {
     assert(sents(1).triples.exists(t => t.p == "rdfs:comment" && t.o == "newsegment"))
   }
 
+  test("parseTtl keeps source numbering across dropped sentences; fallback is counted") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val doc = InputDoc("d", Seq(
+      Span("token", "1\ta\tDET\t0\troot", "", 0),
+      Span("sentence_break", "", "", 1),
+      Span("token", "1\tb\tNOUN\t0\troot", "", 2),
+      Span("sentence_break", "", "", 3),
+      Span("token", "1\tc\tVERB\t0\troot", "", 4)))
+    val sents = SpanParser.parseDoc(doc, cols)
+    assert(sents.map(_.sent) == Seq(1L, 2L, 3L))
+    val blocks = sents.map(s => Serializers.toCanonicalTtl(s, cols))
+
+    // re-ingesting output that DROPPED sentence 2: numbering sticks to
+    // the source (1, 3), no silent positional renumbering, no fallback
+    val holey = Seq(blocks(0), blocks(2)).mkString("\n\n")
+    val acc1 = spark.sparkContext.longAccumulator("ttl_sent_fallbacks")
+    val got = Pipeline.parseTtl(Seq(("d", holey)).toDS(), Some(acc1))
+      .collect().sortBy(_.sent)
+    assert(got.map(_.sent).toSeq == Seq(1L, 3L))
+    assert(acc1.value == 0L)
+
+    // a chunk whose :s{n}_0 sentence node is missing: continues from the
+    // last recovered number and counts the fallback
+    val noNode = blocks(2).split("\n").filterNot(_.startsWith(":s3_0")).mkString("\n")
+    val mixed = Seq(blocks(0), noNode).mkString("\n\n")
+    val acc2 = spark.sparkContext.longAccumulator("ttl_sent_fallbacks")
+    val got2 = Pipeline.parseTtl(Seq(("d", mixed)).toDS(), Some(acc2))
+      .collect().sortBy(_.sent)
+    assert(got2.map(_.sent).toSeq == Seq(1L, 2L))
+    assert(acc2.value == 1L)
+  }
+
   test("TTL ingestion: K1 document → parseTtl → rewrite equals the direct path") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
