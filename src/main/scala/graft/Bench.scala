@@ -139,14 +139,28 @@ object Bench {
 
     val spark = session(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      spark.catalog.clearCache() // drop per-query persist()s between entries
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    def registryPass(dir: String): Map[String, Double] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
+        spark.catalog.clearCache() // drop per-query persist()s between entries
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val results = registryPass(sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Second-scale-factor registry pass (VERDICT r3 item 5): the same 65
+    // entries over 10× less data. Per-entry time ratios are the measured
+    // scale curves behind the 100× claims — capped LSH joins, bounded
+    // centroids, CC rounds should grow ≈linearly in input, anything
+    // super-linear shows up as ratio >> 10.
+    val sf2Dir = sfDir.replace("sf0.1", "sf0.01")
+    val sf2 = if (sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory)
+      Some(registryPass(sf2Dir)) else None
+    val sf2Json = sf2.map { r =>
+      val q2 = r.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""""sf2":"$sf2Dir","total_sf2":${r.values.sum},"queries_sf2":$q2,"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""kg_docs":$nDocs,"kg_triples":$triples,""" +
@@ -164,6 +178,7 @@ object Bench {
         s""""kg_sec_small_local$level4N":$tSmall,""" +
         s""""kg_triples_per_sec_small_local$level4N":${triplesSmall / tSmall},""" +
         s""""input_scaling_tps_ratio":${(triples / t4N) / (triplesSmall / tSmall)},""" +
+        sf2Json +
         s""""sf":"$sfDir"}"""
     // stdout (unwrapped via run/outputStrategy := StdoutOutput) + a file
     // copy, so the driver can parse the line structurally either way

@@ -133,6 +133,55 @@ object CurationQueries {
         SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct,
           ROUND((COUNT(*) - COUNT(DISTINCT g)) / COUNT(*), 6) AS rep_ratio
         FROM g3 GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    Q(
+      // Benchmark decontamination (training-data hygiene): flag corpus
+      // documents sharing any word n-gram with a held-out benchmark
+      // set. The benchmark is a BOUNDED deterministic sample
+      // (doc_id % 20 == 0 && doc_id < 2000 → ≤100 docs at ANY corpus
+      // size — real benchmark suites are small and fixed); its distinct
+      // n-grams broadcast-hash-join against the corpus n-gram stream
+      // (narrow probe, no shuffle on the 100 TB side), one groupBy for
+      // the per-doc counts, then a left join back so clean docs report
+      // 0. n=4 here so the det corpus exercises both outcomes (real
+      // pipelines use 8-13-grams); the plan shape is n-independent.
+      "q41_decontaminate",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id",
+            split(trim(regexp_replace(lower($"text"), "\\s+", " ")), " ").as("w"))
+        val isBench = ($"doc_id" % 20 === 0) && ($"doc_id" < 2000)
+        val grams = docs.filter(size($"w") >= 4)
+          .select($"doc_id", explode(expr(
+            "transform(sequence(0, size(w)-4), i -> concat_ws(' ', slice(w, i+1, 4)))")).as("g"))
+        val bench = grams.filter(isBench).select($"g").distinct()
+        val hits = grams.filter(!isBench)
+          .join(broadcast(bench), "g")
+          .groupBy($"doc_id").agg(countDistinct($"g").as("shared"))
+        docs.filter(!isBench).select($"doc_id")
+          .join(hits, Seq("doc_id"), "left_outer")
+          .select($"doc_id",
+            coalesce($"shared", lit(0L)).as("n_shared"),
+            (coalesce($"shared", lit(0L)) > 0).as("contaminated"))
+          .orderBy($"doc_id")
+      },
+      Some("""WITH tok AS (
+          SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text),'\s+',' ','g')), ' ') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+          FROM (SELECT doc_id, w, unnest(range(1, len(w)-2)) AS i FROM tok WHERE len(w) >= 4) t),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0 AND doc_id < 2000),
+        hits AS (
+          SELECT c.doc_id, COUNT(DISTINCT c.g) AS shared
+          FROM grams c JOIN bench b ON b.g = c.g
+          WHERE NOT (c.doc_id % 20 = 0 AND c.doc_id < 2000) GROUP BY c.doc_id)
+        SELECT d.doc_id, COALESCE(h.shared, 0) AS n_shared,
+          COALESCE(h.shared, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+        WHERE NOT (d.doc_id % 20 = 0 AND d.doc_id < 2000)
+        ORDER BY d.doc_id""")
     )
   )
 }
