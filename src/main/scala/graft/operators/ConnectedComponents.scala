@@ -60,4 +60,62 @@ object ConnectedComponents {
     }
     labels.select($"node", $"lbl".as("component"))
   }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — a public-literature algorithm): each round contracts the
+    * graph toward per-component stars centered at the minimum node, so
+    * label reach DOUBLES per round and convergence is O(log n) rounds
+    * regardless of diameter. This is the scale path for long-chain /
+    * high-diameter evidence graphs where `run`'s min-label propagation
+    * needs diameter-many rounds (a 10^12-doc provenance chain has
+    * diameter ~10^10: min-label never finishes, large-star needs ~35
+    * rounds). For short-diameter graphs (the gazetteer bucket stars)
+    * `run` is cheaper per round — callers pick by graph shape.
+    *
+    *  - large-star: per node u, connect every LARGER neighbor to
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: orient edges large→small; per node u, connect u and
+    *    every smaller neighbor to the minimum;
+    *  - converged when the edge set is a fixpoint (the result is then a
+    *    star per component); `localCheckpoint` truncates lineage per
+    *    round, the equality check is an exact count + one-sided
+    *    anti-join (both sides are distinct sets).
+    */
+  def runStar(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    import spark.implicits._
+    var e = edges.select($"src".as("u"), $"dst".as("v"))
+      .filter($"u" =!= $"v").distinct().localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetrized adjacency
+      val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
+        .select($"u", least($"mv", $"u").as("m"))
+      val ls = sym.filter($"v" > $"u")
+        .join(mins, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .filter($"u" =!= $"v").distinct()
+      // small-star over large→small oriented edges
+      val ori = ls.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
+        .distinct()
+      val mins2 = ori.groupBy($"u").agg(min($"v").as("m"))
+      val ss = ori.join(mins2, "u")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins2.select($"u", $"m".as("v")))
+        .filter($"u" =!= $"v").distinct()
+        .localCheckpoint()
+      // fixpoint: ss == e as sets (both distinct → count + subset is exact)
+      converged = ss.count() == e.count() &&
+        ss.join(e, Seq("u", "v"), "left_anti").isEmpty
+      e = ss
+      i += 1
+    }
+    // converged edge set is a star per component: (node → center), with
+    // each center mapping to itself
+    e.select($"u".as("node"), $"v".as("component"))
+      .union(e.select($"v".as("node"), $"v".as("component")))
+      .distinct()
+  }
 }

@@ -278,6 +278,37 @@ object GraphQueries {
           SELECT q_id, c_id, sim,
             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS rnk
           FROM searched) r WHERE rnk <= 3 ORDER BY q_id, rnk""")
+    ),
+    Q(
+      // Connected components over LONG-CHAIN graphs (per-source document
+      // provenance chains): diameter grows linearly with the corpus
+      // (~25 at sf0.01, ~250 at sf0.1, ~5·10^10 at 10^12 docs), so this
+      // entry runs the large-star/small-star CC — O(log n) rounds
+      // independent of diameter. Min-label propagation would need
+      // diameter-many rounds and already exceeds its 50-round cap at
+      // sf0.1 (ConnectedComponentsSpec demonstrates the failure). The
+      // chain construction gives the oracle a closed form — component =
+      // min doc_id per source — with no recursion, while the engine
+      // earns it iteratively. Zero-padded string keys keep the
+      // lexicographic min equal to the numeric min.
+      "q42_cc_chain",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir).select($"doc_id", $"source")
+        val w = Window.partitionBy($"source").orderBy($"doc_id")
+        val edges = d
+          .withColumn("nxt", lead($"doc_id", 1).over(w))
+          .filter($"nxt".isNotNull)
+          .select(lpad($"doc_id".cast("string"), 12, "0").as("src"),
+            lpad($"nxt".cast("string"), 12, "0").as("dst"))
+        graft.operators.ConnectedComponents.runStar(s, edges)
+          .select($"node".cast("long").as("doc_id"),
+            $"component".cast("long").as("component"))
+          .orderBy($"doc_id")
+      },
+      Some("""SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS component
+        FROM documents QUALIFY COUNT(*) OVER (PARTITION BY source) >= 2
+        ORDER BY doc_id""")
     )
   )
 }
