@@ -92,13 +92,15 @@ object Bench {
     // this host has noisy-neighbor CPU steal: interleave the two levels
     // and take per-level minima so a slow period can't bias one level
     // only; additionally, rounds that overlapped a steal burst (> ~20
-    // CPU-seconds) don't count toward the 3 required clean rounds — up
-    // to 6 rounds total are attempted
+    // CPU-seconds) don't count toward the 4 required clean rounds — up
+    // to 8 rounds total are attempted (more rounds only improve the
+    // per-level minima; a 3-round window that was uniformly busy read
+    // 0.795 once where the adjacent runs read 0.86 and 0.80)
     val rounds = scala.collection.mutable.ArrayBuffer[((Double, Long), (Double, Long))]()
     var clean = 0
     var attempts = 0
     var maxSteal = 0L
-    while (clean < 3 && attempts < 6) {
+    while (clean < 4 && attempts < 8) {
       val s0 = stealJiffies()
       val r = (measureOnce(levelN), measureOnce(level4N))
       val stealDelta = stealJiffies() - s0

@@ -22,12 +22,17 @@ object SparkEntry {
     KgQueries.all.find(_.name == "kg_pipeline_analyze").get
       .run(spark, "/root/testdata/sf0.001")
 
-  /** One per implemented operator from SURVEY.md §2. */
+  /** One per implemented operator from SURVEY.md §2. ListMap preserves
+    * registry order, so Bench/Verify run entries in the same sequence
+    * every round — with a hashed Map the cold-vs-warm position of each
+    * entry reshuffled whenever the registry grew, which read as
+    * phantom per-entry regressions between rounds. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    registry.map(q => q.name -> q.run).toMap
+    scala.collection.immutable.ListMap(registry.map(q => q.name -> q.run): _*)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    registry.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    scala.collection.immutable.ListMap(
+      registry.flatMap(q => q.oracle.map(o => q.name -> o)): _*)
 }
