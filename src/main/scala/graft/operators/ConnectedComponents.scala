@@ -82,7 +82,13 @@ object ConnectedComponents {
     *    round, the equality check is an exact count + one-sided
     *    anti-join (both sides are distinct sets).
     */
-  def runStar(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def runStar(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame =
+    runStarStats(spark, edges, maxIter)._1
+
+  /** runStar + the number of large-star/small-star rounds taken — the
+    * measurable O(log n) evidence (a diameter-d chain converges in
+    * ~log2(d) rounds, not d). */
+  def runStarStats(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     import spark.implicits._
     var e = edges.select($"src".as("u"), $"dst".as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
@@ -114,8 +120,8 @@ object ConnectedComponents {
     }
     // converged edge set is a star per component: (node → center), with
     // each center mapping to itself
-    e.select($"u".as("node"), $"v".as("component"))
+    (e.select($"u".as("node"), $"v".as("component"))
       .union(e.select($"v".as("node"), $"v".as("component")))
-      .distinct()
+      .distinct(), i)
   }
 }

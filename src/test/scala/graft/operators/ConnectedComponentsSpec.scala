@@ -40,9 +40,12 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     // doubles reach per round and lands the exact answer well inside
     // the same budget. This is the 10^12-doc provenance-chain case.
     val edges = (1 until 60).map(i => (n(i), n(i + 1))).toDF("src", "dst")
-    val star = labelsOf(ConnectedComponents.runStar(spark, edges, maxIter = 10))
+    val (starDf, rounds) = ConnectedComponents.runStarStats(spark, edges, maxIter = 10)
+    val star = labelsOf(starDf)
     assert(star.size == 60)
     assert(star.values.toSet == Set(n(1)))
+    // diameter 59, log2(59) ≈ 5.9 — doubling reach, not walking it
+    assert(rounds <= 9, s"expected O(log n) rounds, took $rounds")
     val capped = labelsOf(ConnectedComponents.run(spark, edges, maxIter = 10))
     assert(capped.values.exists(_ != n(1)), "min-label should NOT converge in 10 rounds")
   }
