@@ -99,10 +99,11 @@ object ConnectedComponents {
       val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
       val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
         .select($"u", least($"mv", $"u").as("m"))
+      // no dedup here: the orientation step aggregates again anyway, and
+      // u' = v > v' = m holds by construction (m ≤ u < v), so no self-loops
       val ls = sym.filter($"v" > $"u")
         .join(mins, "u")
         .select($"v".as("u"), $"m".as("v"))
-        .filter($"u" =!= $"v").distinct()
       // small-star over large→small oriented edges
       val ori = ls.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
         .distinct()
