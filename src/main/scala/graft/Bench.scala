@@ -141,27 +141,34 @@ object Bench {
 
     val spark = session(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // A failed entry records -1.0 (NOT a fast timing — silently charging
+    // ~0s would fake a superb scale ratio in the sf2 evidence) and is
+    // excluded from totals. Between entries both catalog-cached plans
+    // AND checkpointed/persisted RDDs are dropped (clearCache misses
+    // localCheckpoint blocks, e.g. the link-family shared parse).
     def registryPass(dir: String): Map[String, Double] =
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case _: Throwable => -1L }
-        spark.catalog.clearCache() // drop per-query persist()s between entries
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+    def totalOf(r: Map[String, Double]): Double = r.values.filter(_ >= 0).sum
     val results = registryPass(sfDir)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // Second-scale-factor registry pass (VERDICT r3 item 5): the same 65
-    // entries over 10× less data. Per-entry time ratios are the measured
-    // scale curves behind the 100× claims — capped LSH joins, bounded
-    // centroids, CC rounds should grow ≈linearly in input, anything
-    // super-linear shows up as ratio >> 10.
+    val total = totalOf(results)
+    // Second-scale-factor registry pass (VERDICT r3 item 5): the same
+    // registry over 10× less data. Per-entry time ratios are the
+    // measured scale curves behind the 100× claims — capped LSH joins,
+    // bounded centroids, CC rounds should grow ≈linearly in input,
+    // anything super-linear shows up as ratio >> 10.
     val sf2Dir = sfDir.replace("sf0.1", "sf0.01")
     val sf2 = if (sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory)
       Some(registryPass(sf2Dir)) else None
     val sf2Json = sf2.map { r =>
       val q2 = r.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s""""sf2":"$sf2Dir","total_sf2":${r.values.sum},"queries_sf2":$q2,"""
+      s""""sf2":"$sf2Dir","total_sf2":${totalOf(r)},"queries_sf2":$q2,"""
     }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

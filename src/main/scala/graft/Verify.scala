@@ -34,8 +34,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist() intermediates (q22's minhash/shingle sets)
-      // must not pin executor memory for the remaining ~49 entries
+      // must not pin executor memory for the remaining entries; the RDD
+      // sweep also frees localCheckpoint blocks (link-family shared
+      // parse), which clearCache does not cover
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -110,27 +110,33 @@ object Pipeline {
   /** Ingest TTL documents (the CoNLLRDFUpdater's input mode, SURVEY §3.2):
     * (doc_id, ttl text) rows → sentence graphs, chunked at blank lines.
     * Sentence numbers are recovered from the `:s{n}_0` node when
-    * present; a chunk WITHOUT one continues from the last recovered
-    * number (`last + 1`) instead of its blind position in the document,
-    * so re-ingesting output that dropped a sentence keeps the source
-    * numbering of every numbered chunk (a doc numbered 1,3,4 stays
-    * 1,3,4 — the old positional fallback silently renumbered to 1,2,3).
-    * Each fallback is counted in the optional accumulator so a
-    * production run can alert on unnumbered input rather than trust the
-    * synthesized ids. Narrow (flatMap). */
+    * present; a chunk WITHOUT one takes the smallest number above the
+    * last recovered one that NO numbered chunk of the document claims —
+    * source numbering is never disturbed (a doc numbered 1,3,4 stays
+    * 1,3,4; the old positional fallback silently renumbered to 1,2,3)
+    * and a synthesized number can never collide with a later numbered
+    * chunk (chunks 5, ?, 6 become 5, 7, 6 — not 5, 6, 6). Doc-local
+    * two-pass, still narrow. Each fallback is counted in the optional
+    * accumulator so a production run can alert on unnumbered input
+    * rather than trust the synthesized ids. Narrow (flatMap). */
   def parseTtl(
       docs: Dataset[(String, String)],
       fallbacks: Option[LongAccumulator] = None): Dataset[Sentence] = {
     import docs.sparkSession.implicits._
     val SentNode = ":s([0-9]+)_0".r
     docs.flatMap { case (docId, text) =>
+      val chunks = TtlParser.parseDocument(text)
+      val nums = chunks.map(_.collectFirst {
+        case Triple(SentNode(num), "rdf:type", "nif:Sentence", true) => num.toLong
+      })
+      val claimed = nums.flatten.toSet
       var last = 0L
-      TtlParser.parseDocument(text).map { triples =>
-        val n = triples.collectFirst {
-          case Triple(SentNode(num), "rdf:type", "nif:Sentence", true) => num.toLong
-        }.getOrElse {
+      chunks.zip(nums).map { case (triples, nOpt) =>
+        val n = nOpt.getOrElse {
           fallbacks.foreach(_.add(1))
-          last + 1L
+          var c = last + 1L
+          while (claimed.contains(c)) c += 1L
+          c
         }
         last = n
         Sentence(docId, n, Seq.empty, triples)

@@ -11,6 +11,28 @@ import graft.operators.IterativeClosure
   */
 object GraphQueries {
 
+  /** Allocation-free argmin over the broadcast centroid array by
+    * (cosine desc, id asc) — the per-corpus-row hot loop shared by the
+    * IVF entries (q31 assignment, q38 n=1 cell probe). */
+  private def nearestCell(
+      cs: Array[(Long, Array[Float], Double)],
+      v: Array[Float], nv: Double): Long = {
+    var bestId = Long.MaxValue
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cs.length) {
+      val (cid, cv, cn) = cs(i)
+      val sim = DecimalDot.cosine(DecimalDot.dot(cv, v), cn, nv)
+      // row_number ORDER BY sim DESC, b — strict improvement or tie
+      // broken by the smaller centroid id
+      if (sim > bestSim || (sim == bestSim && cid < bestId)) {
+        bestSim = sim; bestId = cid
+      }
+      i += 1
+    }
+    bestId
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       // HEAD+-style depth over a deterministic per-doc token tree
@@ -64,29 +86,12 @@ object GraphQueries {
           .collect().sortBy(_._1)
           .map { case (id, v) => (id, v, DecimalDot.normSq(v)) }
         val cB = s.sparkContext.broadcast(cents)
-        def nearest(cs: Array[(Long, Array[Float], Double)],
-                    v: Array[Float], nv: Double): Long = {
-          var bestId = Long.MaxValue
-          var bestSim = Double.NegativeInfinity
-          var i = 0
-          while (i < cs.length) {
-            val (cid, cv, cn) = cs(i)
-            val sim = DecimalDot.cosine(DecimalDot.dot(cv, v), cn, nv)
-            // row_number ORDER BY sim DESC, b — strict improvement or tie
-            // broken by the smaller centroid id
-            if (sim > bestSim || (sim == bestSim && cid < bestId)) {
-              bestSim = sim; bestId = cid
-            }
-            i += 1
-          }
-          bestId
-        }
         // probe set: queries (vec_id < 10) with their cell assignments,
         // computed driver-side with the same function, then broadcast
         val queries = emb.filter(_._1 < 10).collect().sortBy(_._1)
           .map { case (id, v) =>
             val nv = DecimalDot.normSq(v)
-            (id, v, nv, nearest(cents, v, nv))
+            (id, v, nv, nearestCell(cents, v, nv))
           }
         val qB = s.sparkContext.broadcast(queries)
         // corpus: one narrow pass — assign the row's cell, score it
@@ -100,7 +105,7 @@ object GraphQueries {
             a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
           for ((cid, v) <- it) {
             val nv = DecimalDot.normSq(v)
-            val cell = nearest(cs, v, nv)
+            val cell = nearestCell(cs, v, nv)
             var qi = 0
             while (qi < qs.length) {
               val (_, qv, qn, qCell) = qs(qi)
@@ -179,28 +184,12 @@ object GraphQueries {
         val cB = s.sparkContext.broadcast(cents)
         // top-n centroids by (sim desc, id asc) — driver-side only (the
         // 10 query probes); the per-corpus-row n=1 assignment uses the
-        // allocation-free while-loop below (VERDICT r3 wrong-item 2)
+        // shared allocation-free nearestCell (VERDICT r3 wrong-item 2)
         def nearestN(cs: Array[(Long, Array[Float], Double)],
                      v: Array[Float], nv: Double, n: Int): Array[Long] =
           cs.map { case (cid, cv, cn) =>
             (cid, DecimalDot.cosine(DecimalDot.dot(cv, v), cn, nv))
           }.sortBy { case (cid, sim) => (-sim, cid) }.take(n).map(_._1)
-        // n=1 fast path: zero allocation per row (same shape as q31's)
-        def nearest1(cs: Array[(Long, Array[Float], Double)],
-                     v: Array[Float], nv: Double): Long = {
-          var bestId = Long.MaxValue
-          var bestSim = Double.NegativeInfinity
-          var i = 0
-          while (i < cs.length) {
-            val (cid, cv, cn) = cs(i)
-            val sim = DecimalDot.cosine(DecimalDot.dot(cv, v), cn, nv)
-            if (sim > bestSim || (sim == bestSim && cid < bestId)) {
-              bestSim = sim; bestId = cid
-            }
-            i += 1
-          }
-          bestId
-        }
         val queries = emb.filter(_._1 < 10).collect().sortBy(_._1)
           .map { case (id, v) =>
             val nv = DecimalDot.normSq(v)
@@ -216,7 +205,7 @@ object GraphQueries {
             a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
           for ((cid, v) <- it) {
             val nv = DecimalDot.normSq(v)
-            val cell = nearest1(cs, v, nv)
+            val cell = nearestCell(cs, v, nv)
             var qi = 0
             while (qi < qs.length) {
               val (_, qv, qn, qCells) = qs(qi)
@@ -289,8 +278,10 @@ object GraphQueries {
       // sf0.1 (ConnectedComponentsSpec demonstrates the failure). The
       // chain construction gives the oracle a closed form — component =
       // min doc_id per source — with no recursion, while the engine
-      // earns it iteratively. Zero-padded string keys keep the
-      // lexicographic min equal to the numeric min.
+      // earns it iteratively. Keys stay native BIGINT: runStar only
+      // needs an orderable column, and numeric order is immune to the
+      // fixed-width-padding truncation a string key would risk at
+      // 10^12-scale ids.
       "q42_cc_chain",
       (s, dir) => {
         import s.implicits._
@@ -299,11 +290,9 @@ object GraphQueries {
         val edges = d
           .withColumn("nxt", lead($"doc_id", 1).over(w))
           .filter($"nxt".isNotNull)
-          .select(lpad($"doc_id".cast("string"), 12, "0").as("src"),
-            lpad($"nxt".cast("string"), 12, "0").as("dst"))
+          .select($"doc_id".as("src"), $"nxt".as("dst"))
         graft.operators.ConnectedComponents.runStar(s, edges)
-          .select($"node".cast("long").as("doc_id"),
-            $"component".cast("long").as("component"))
+          .select($"node".as("doc_id"), $"component")
           .orderBy($"doc_id")
       },
       Some("""SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS component

@@ -116,6 +116,15 @@ class TtlRoundtripSpec extends AnyFunSuite {
       .collect().sortBy(_.sent)
     assert(got2.map(_.sent).toSeq == Seq(1L, 2L))
     assert(acc2.value == 1L)
+
+    // a synthesized number must never collide with a LATER numbered
+    // chunk: chunks [1, ?, 2] number as 1, 3, 2 — not 1, 2, 2
+    val noNode2 = blocks(1).split("\n").filterNot(_.startsWith(":s2_0")).mkString("\n")
+    val collide = Seq(blocks(0), noNode2, blocks(1)).mkString("\n\n")
+    val acc3 = spark.sparkContext.longAccumulator("ttl_sent_fallbacks")
+    val got3 = Pipeline.parseTtl(Seq(("d", collide)).toDS(), Some(acc3)).collect()
+    assert(got3.map(_.sent).sorted.toSeq == Seq(1L, 2L, 3L), "no duplicate sentence numbers")
+    assert(acc3.value == 1L)
   }
 
   test("TTL ingestion: K1 document → parseTtl → rewrite equals the direct path") {
