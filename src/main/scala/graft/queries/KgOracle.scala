@@ -511,6 +511,68 @@ object KgOracle {
       }
   }
 
+  // ------------------------------------------------------------------
+  // Deterministic segment corpus (S10): 5-token single-column sentences
+  // with a DOUBLE blank-line run before every third sentence — the
+  // SimpleLineBreakSplitter input shape. The splitter collapses each
+  // run to one break + a '#newsegment' comment, which the parser
+  // attaches to the FOLLOWING sentence as rdfs:comment.
+  // ------------------------------------------------------------------
+
+  val SEG_LEN = 4
+  val detSegCols: Seq[String] = Seq("WORD")
+
+  def segSpansFor(words: Array[String]): Seq[Span] = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    val nSents = words.length / SEG_LEN
+    for (si <- 0 until nSents) {
+      if (si > 0) {
+        spans += Span("sentence_break", "", "", off); off += 1
+        if (si % 3 == 0) { spans += Span("sentence_break", "", "", off); off += 1 }
+      }
+      for (t <- 0 until SEG_LEN) {
+        spans += Span("token", words(si * SEG_LEN + t), "", off); off += 1
+      }
+    }
+    spans.toSeq
+  }
+
+  def detSegDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) =>
+        InputDoc(docId, segSpansFor(text.split("\\s+")))
+      }
+  }
+
+  /** Full triple table of the segment path: single-WORD CoNLL core +
+    * rdfs:comment "newsegment" on every sentence that follows a
+    * boundary (sent > 1 with (sent-1) % 3 == 0 — the closed form of
+    * the generator's si % 3 == 0 placement). */
+  def segmentsSql: String = {
+    val subj = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+    s"""WITH stk AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             (i-1) // $SEG_LEN + 1 AS sent, (i-1) % $SEG_LEN + 1 AS tid, w AS word
+      FROM (SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words)+1)) AS i,
+                   CAST(len(words) AS BIGINT) AS nwords
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents) t0) t1
+      WHERE ((i-1) // $SEG_LEN + 1) * $SEG_LEN <= nwords
+    )
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT DISTINCT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM stk
+      UNION ALL SELECT DISTINCT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM stk WHERE sent > 1
+      UNION ALL SELECT DISTINCT doc_id, sent, $sentNodeSql, 'rdfs:comment', 'newsegment', FALSE FROM stk WHERE sent > 1 AND (sent - 1) % 3 = 0
+      UNION ALL SELECT doc_id, sent, $subj, 'rdf:type', 'nif:Word', TRUE FROM stk
+      UNION ALL SELECT doc_id, sent, $subj, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM stk WHERE tid < $SEG_LEN
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:WORD', word, FALSE FROM stk
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:HEAD', $sentNodeSql, TRUE FROM stk
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+  }
+
   /** Shared bracket-corpus CTE: btk (4-token chunks), tok4 (+pos/shape),
     * bsents (one row per sentence with its shape). */
   private def bracketCteSql: String = {

@@ -398,6 +398,23 @@ object KgQueries {
           .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.bracketsSpanSql)
+    ),
+    Q(
+      // S10 segment splitter driver-gated end-to-end: det docs with
+      // double-blank runs → SimpleLineBreakSplitter semantics (run
+      // collapsed to one break + '#newsegment' comment,
+      // SimpleLineBreakSplitter.java:13-28) → parse. The marker surfaces
+      // as rdfs:comment on the FOLLOWING sentence; closed form in the
+      // oracle ((sent-1) % 3 == 0).
+      "kg_segments",
+      (s, dir) => {
+        import s.implicits._
+        val docs = KgOracle.detSegDocs(s, dir)
+          .map(SegmentSplitter.insertNewSegmentComments)
+        Pipeline.triples(Pipeline.parse(docs, KgOracle.detSegCols)).toDF()
+          .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.segmentsSql)
     )
   )
 }
