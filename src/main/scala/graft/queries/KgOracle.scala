@@ -573,6 +573,102 @@ object KgOracle {
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
   }
 
+  // ------------------------------------------------------------------
+  // Deterministic TenTen corpus (S9): SketchEngine vertical lines whose
+  // <kwik>/<left>/<right> data tags carry XML-escaped embedded CoNLL —
+  // 3-token sentences of word/POS/x/x/x/x/x/x/x chunks (8 slashes → a
+  // CoNLL row) wrapped in <s>…</s>, a <doc> opener/closer, and an
+  // UNMATCHED </note> after sentence 1's first token so the --repair
+  // path must synthesize the artificial <note> opener
+  // (TenTen2XMLTSV.java:230-242). The converted stream goes through
+  // XmlTsvParser, so the closed form knows every powla node id:
+  // doc=:x1, sentence i's <s> = :x2 for i=1 (note takes :x3) and
+  // :x{i+2} after.
+  // ------------------------------------------------------------------
+
+  val TT_LEN = 3
+  val detTenCols: Seq[String] =
+    Seq("WORD", "POS", "F1", "F2", "F3", "F4", "F5", "F6", "F7")
+
+  def tenLinesFor(words: Array[String]): Seq[String] = {
+    val n = words.length / TT_LEN
+    if (n == 0) Seq.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      out += "<left>&lt;doc&gt;</left>"
+      for (si <- 0 until n) {
+        val toks = (0 until TT_LEN).map { t =>
+          val w = words(si * TT_LEN + t)
+          s"$w/${uposFromHex(md5hex(w).charAt(0))}/x/x/x/x/x/x/x"
+        }
+        val mid =
+          if (si == 0) toks.head + " &lt;/note&gt; " + toks.tail.mkString(" ")
+          else toks.mkString(" ")
+        out += s"<kwik>&lt;s&gt; $mid &lt;/s&gt;</kwik>"
+      }
+      out += "<right>&lt;/doc&gt;</right>"
+      out.toSeq
+    }
+  }
+
+  def detTenDocs(s: SparkSession, dir: String): Dataset[(String, Seq[String])] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      .map { case (docId, text) => (docId, tenLinesFor(text.split("\\s+"))) }
+  }
+
+  /** Full triple table of the TenTen→XML-TSV path: 9-column CoNLL core
+    * + the powla tree (re-asserted doc node per sentence, per-sentence
+    * <s> node, the repaired childless <note> spliced into sentence 1's
+    * sibling chain between tokens 1 and 2). */
+  def tentenSql: String = {
+    val subj = "':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid AS VARCHAR)"
+    val sX = "':x' || CAST(CASE WHEN sent = 1 THEN 2 ELSE sent + 2 END AS VARCHAR)"
+    s"""WITH ttk AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             (i-1) // $TT_LEN + 1 AS sent, (i-1) % $TT_LEN + 1 AS tid, w AS word,
+             ${TextQueries.uposSql.replace("word", "w")} AS pos
+      FROM (SELECT doc_id, unnest(words) AS w,
+                   unnest(range(1, len(words)+1)) AS i,
+                   CAST(len(words) AS BIGINT) AS nwords
+            FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS words FROM documents) t0) t1
+      WHERE ((i-1) // $TT_LEN + 1) * $TT_LEN <= nwords
+    ), tsent AS (SELECT DISTINCT doc_id, sent FROM ttk)
+    SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
+      SELECT doc_id, sent, $sentNodeSql AS subj, 'rdf:type' AS pred, 'nif:Sentence' AS obj, TRUE AS obj_uri FROM tsent
+      UNION ALL SELECT doc_id, sent, ':s' || CAST(sent - 1 AS VARCHAR) || '_0', 'nif:nextSentence', $sentNodeSql, TRUE FROM tsent WHERE sent > 1
+      UNION ALL SELECT doc_id, sent, $subj, 'rdf:type', 'nif:Word', TRUE FROM ttk
+      UNION ALL SELECT doc_id, sent, $subj, 'nif:nextWord', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM ttk WHERE tid < $TT_LEN
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:WORD', word, FALSE FROM ttk
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:POS', pos, FALSE FROM ttk
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:F' || CAST(k AS VARCHAR), 'x', FALSE
+        FROM ttk, (SELECT unnest(range(1, 8)) AS k) fk
+      UNION ALL SELECT doc_id, sent, $subj, 'conll:HEAD', $sentNodeSql, TRUE FROM ttk
+      -- re-asserted document node, every sentence
+      UNION ALL SELECT doc_id, sent, ':x1', 'rdf:type', 'powla:Node', TRUE FROM tsent
+      UNION ALL SELECT doc_id, sent, ':x1', 'rdf:type', 'conll:XML_DATA', TRUE FROM tsent
+      UNION ALL SELECT doc_id, sent, ':x1', 'rdf:value', 'doc', FALSE FROM tsent
+      -- per-sentence <s> node
+      UNION ALL SELECT doc_id, sent, $sX, 'powla:hasParent', ':x1', TRUE FROM tsent
+      UNION ALL SELECT doc_id, sent, $sX, 'rdf:type', 'powla:Node', TRUE FROM tsent
+      UNION ALL SELECT doc_id, sent, $sX, 'rdf:type', 'conll:XML_DATA', TRUE FROM tsent
+      UNION ALL SELECT doc_id, sent, $sX, 'rdf:value', 's', FALSE FROM tsent
+      -- words hang under the sentence's <s> node
+      UNION ALL SELECT doc_id, sent, $subj, 'powla:hasParent', $sX, TRUE FROM ttk
+      -- repaired childless <note> (sentence 1 only), spliced between w1 and w2
+      UNION ALL SELECT doc_id, sent, ':x3', 'powla:hasParent', ':x2', TRUE FROM tsent WHERE sent = 1
+      UNION ALL SELECT doc_id, sent, ':x3', 'rdf:type', 'powla:Node', TRUE FROM tsent WHERE sent = 1
+      UNION ALL SELECT doc_id, sent, ':x3', 'rdf:type', 'conll:XML_DATA', TRUE FROM tsent WHERE sent = 1
+      UNION ALL SELECT doc_id, sent, ':x3', 'rdf:value', 'note', FALSE FROM tsent WHERE sent = 1
+      UNION ALL SELECT doc_id, sent, ':s1_1', 'powla:next', ':x3', TRUE FROM tsent WHERE sent = 1
+      UNION ALL SELECT doc_id, sent, ':x3', 'powla:next', ':s1_2', TRUE FROM tsent WHERE sent = 1
+      UNION ALL SELECT doc_id, sent, ':s1_2', 'powla:next', ':s1_3', TRUE FROM tsent WHERE sent = 1
+      -- sibling chains for sentences after the first
+      UNION ALL SELECT doc_id, sent, $subj, 'powla:next', ':s' || CAST(sent AS VARCHAR) || '_' || CAST(tid + 1 AS VARCHAR), TRUE FROM ttk WHERE sent > 1 AND tid < $TT_LEN
+    ) u ORDER BY doc_id, sent, subj, pred, obj"""
+  }
+
   /** Shared bracket-corpus CTE: btk (4-token chunks), tok4 (+pos/shape),
     * bsents (one row per sentence with its shape). */
   private def bracketCteSql: String = {

@@ -415,6 +415,24 @@ object KgQueries {
           .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.segmentsSql)
+    ),
+    Q(
+      // S9 TenTen pre-processor driver-gated end-to-end (was unit-only):
+      // det SketchEngine vertical lines → TenTen.convert with --repair
+      // (embedded-CoNLL extraction, '/'→TAB outside brackets, bracket
+      // splitting, artificial opener for the unmatched </note>) →
+      // XmlTsvParser → triples. The closed form knows every powla node
+      // id, incl. the repaired childless <note> spliced into sentence
+      // 1's sibling chain.
+      "kg_tenten",
+      (s, dir) => {
+        import s.implicits._
+        val docs = TenTen.repairDocs(KgOracle.detTenDocs(s, dir))
+        val sents = docs.flatMap(d => XmlTsvParser.parseDoc(d, KgOracle.detTenCols))
+        Pipeline.triples(sents).toDF()
+          .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.tentenSql)
     )
   )
 }
