@@ -56,7 +56,16 @@ object DedupQueries {
     * persist + bucket cap in the q22 entry comment. */
   private def lshJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val mh = minhashDf(s, dir)
+    // ONE shingle explode feeds everything: the distinct shingle sets are
+    // persisted once and reused for the minhash signatures (MIN is
+    // duplicate-invariant, so distinct shingles give the identical
+    // signature), the set sizes, and the exact-Jaccard intersection —
+    // previously the minhash pass re-exploded the corpus on its own.
+    val sets = shingles(s, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhAggs = (0 until 8).map(j =>
+      min(md5s(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
+    val mh = sets.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = (0 until 8).map(j =>
       mh.select($"doc_id", lit(j).as("band"), col(s"mh$j").as("bucket")))
@@ -71,8 +80,6 @@ object DedupQueries {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    val sets = shingles(s, dir).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sets.select($"doc_id".as("a"), $"shingle"), "a")

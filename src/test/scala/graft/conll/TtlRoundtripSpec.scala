@@ -83,6 +83,10 @@ class TtlRoundtripSpec extends AnyFunSuite {
     // downstream: the comment lands on the following sentence
     val sents = SpanParser.parseDoc(out, cols)
     assert(sents(1).triples.exists(t => t.p == "rdfs:comment" && t.o == "newsegment"))
+    // idempotent: re-splitting the already-collapsed stream changes
+    // nothing (no 2+ blank run survives the first pass)
+    val again = SegmentSplitter.insertNewSegmentComments(out)
+    assert(again.spans.map(s => (s.kind, s.text)) == kinds)
   }
 
   test("parseTtl keeps source numbering across dropped sentences; fallback is counted") {
