@@ -115,7 +115,10 @@ object Pipeline {
     * source numbering is never disturbed (a doc numbered 1,3,4 stays
     * 1,3,4; the old positional fallback silently renumbered to 1,2,3)
     * and a synthesized number can never collide with a later numbered
-    * chunk (chunks 5, ?, 6 become 5, 7, 6 — not 5, 6, 6). Doc-local
+    * chunk (chunks 5, ?, 6 become 5, 7, 6 — not 5, 6, 6) NOR with an
+    * earlier synthesized one (chunks ?, 1, ? become 2, 1, 3 — each
+    * fallback joins the claimed set, so non-monotonic source numbering
+    * around unnumbered chunks can't produce duplicate ids). Doc-local
     * two-pass, still narrow. Each fallback is counted in the optional
     * accumulator so a production run can alert on unnumbered input
     * rather than trust the synthesized ids. Narrow (flatMap). */
@@ -129,13 +132,14 @@ object Pipeline {
       val nums = chunks.map(_.collectFirst {
         case Triple(SentNode(num), "rdf:type", "nif:Sentence", true) => num.toLong
       })
-      val claimed = nums.flatten.toSet
+      val claimed = scala.collection.mutable.Set.from(nums.flatten)
       var last = 0L
       chunks.zip(nums).map { case (triples, nOpt) =>
         val n = nOpt.getOrElse {
           fallbacks.foreach(_.add(1))
           var c = last + 1L
           while (claimed.contains(c)) c += 1L
+          claimed += c
           c
         }
         last = n

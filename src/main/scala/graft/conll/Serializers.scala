@@ -303,4 +303,19 @@ object Serializers {
   def countXmlTriples(triples: DataFrame): DataFrame =
     triples.filter(col("pred") === "rdf:type" && col("obj") === "conll:XML_DATA")
       .agg(count(lit(1)).as("n"))
+
+  /** countXmlTriples without the full TripleRow explode: the per-sentence
+    * count happens inside the narrow object pipeline (one Long per
+    * sentence reaches the aggregate, instead of every triple of the graph
+    * being materialized as a row and then filtered — at 100 TB that's the
+    * difference between shuffling a per-sentence scalar and building the
+    * whole long table for one number). Same output contract as
+    * countXmlTriples: a single-row (n: bigint) frame. */
+  def countXmlNodes(sents: Dataset[Sentence]): DataFrame = {
+    import sents.sparkSession.implicits._
+    sents.map(_.triples.count(t =>
+        t.p == "rdf:type" && t.o == "conll:XML_DATA").toLong)
+      .toDF("c")
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+  }
 }

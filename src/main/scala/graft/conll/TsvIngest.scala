@@ -32,12 +32,16 @@ object TsvIngest {
     }
 
   /** Read text files (path or glob; gz transparent) into InputDocs, one
-    * per file, doc_id = the file name. */
+    * per file, doc_id = the file name with the CoNLL-family extension and
+    * any compression suffix stripped (corpus/file.conllu.gz → "corpus/
+    * file"-less "file" — the id a downstream join or oracle sees should
+    * not depend on how the corpus was compressed or suffixed on disk). */
   def readFiles(spark: SparkSession, path: String): Dataset[InputDoc] = {
     import spark.implicits._
     spark.read.option("wholetext", "true").text(path)
       .select(
-        regexp_extract(input_file_name(), "([^/]+?)(\\.gz)?$", 1).as("doc_id"),
+        regexp_extract(input_file_name(),
+          "([^/]+?)(\\.(conllu|conll|tsv))?(\\.gz)?$", 1).as("doc_id"),
         col("value"))
       .as[(String, String)]
       .map { case (name, text) => InputDoc(name, toSpans(text)) }

@@ -25,10 +25,16 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges DataFrame with two string columns `src`, `dst` (undirected).
+    * @param strict fail loudly if the round budget is exhausted before the
+    *               labels converge (non-converged labels are silently WRONG
+    *               on any node a distant minimum hasn't reached yet); only
+    *               diagnostics that deliberately inspect a capped run turn
+    *               this off.
     * @return DataFrame(node: string, component: string) — component is the
     *         lexicographically smallest node id reachable from `node`.
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
+          strict: Boolean = true): DataFrame = {
     import spark.implicits._
     val sym = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
@@ -58,6 +64,12 @@ object ConnectedComponents {
       converged = changed
       i += 1
     }
+    // non-convergence means silently-wrong labels (a label may not yet
+    // have propagated across a long chain) — fail loudly; callers with
+    // high-diameter graphs should use runStar (O(log n) rounds)
+    require(!strict || converged,
+      s"min-label CC did not converge in $maxIter rounds — graph diameter " +
+        "exceeds the round budget; use runStar for high-diameter graphs")
     labels.select($"node", $"lbl".as("component"))
   }
 
@@ -119,6 +131,12 @@ object ConnectedComponents {
       e = ss
       i += 1
     }
+    // a non-converged edge set is NOT a star per component — the labels
+    // read off below would be wrong with no signal (ADVICE r4). 50
+    // rounds covers diameter 2^50; hitting the cap means a bug, not a
+    // big graph — fail loudly instead of mislabeling.
+    require(converged,
+      s"large-star/small-star CC did not converge in $maxIter rounds")
     // converged edge set is a star per component: (node → center), with
     // each center mapping to itself
     (e.select($"u".as("node"), $"v".as("component"))

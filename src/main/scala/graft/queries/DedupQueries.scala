@@ -45,16 +45,29 @@ object DedupQueries {
     shingles(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  private val minhashSelect: String = {
-    val cols = (0 until 8)
+  private def minhashSelectFor(nHashes: Int): String = {
+    val cols = (0 until nHashes)
       .map(j => s"min(md5('$j|' || shingle)) AS mh$j").mkString(", ")
     s"SELECT doc_id, $cols FROM sh GROUP BY doc_id"
   }
 
-  /** LSH-verified near-dup pairs (the q22 computation) — shared by q22
-    * (the pair listing) and q34 (cluster resolution). Scale notes on the
-    * persist + bucket cap in the q22 entry comment. */
-  private def lshJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private val minhashSelect: String = minhashSelectFor(8)
+
+  /** LSH-verified near-dup pairs — shared by q22 (the pair listing), q34
+    * (cluster resolution) and q43 (the r=2 banding). Scale notes on the
+    * persist + bucket cap in the q22 entry comment.
+    *
+    * Banding is the standard b-band × r-row scheme: band j's bucket key
+    * ANDs r consecutive minhashes (md5 of their '|'-join), so a pair
+    * becomes a candidate iff ALL r rows agree in SOME band —
+    * P(candidate | jaccard=s) = 1-(1-s^r)^b. r=1 is the maximum-recall /
+    * maximum-candidate setting; real 100 TB dedup raises r to cut
+    * candidate volume at its chosen similarity threshold (r=2 with b=4
+    * halves the hash budget's collision odds for dissimilar pairs while
+    * keeping ~97% recall at s=0.8). */
+  private def lshJaccardPairs(
+      s: SparkSession, dir: String,
+      nBands: Int = 8, nRows: Int = 1): DataFrame = {
     import s.implicits._
     // ONE shingle explode feeds everything: the distinct shingle sets are
     // persisted once and reused for the minhash signatures (MIN is
@@ -63,12 +76,17 @@ object DedupQueries {
     // previously the minhash pass re-exploded the corpus on its own.
     val sets = shingles(s, dir).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mhAggs = (0 until 8).map(j =>
+    val mhAggs = (0 until nBands * nRows).map(j =>
       min(md5s(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
     val mh = sets.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until 8).map(j =>
-      mh.select($"doc_id", lit(j).as("band"), col(s"mh$j").as("bucket")))
+    val bands = (0 until nBands).map { j =>
+      val key =
+        if (nRows == 1) col(s"mh$j")
+        else md5s(concat_ws("|",
+          (0 until nRows).map(k => col(s"mh${j * nRows + k}")): _*))
+      mh.select($"doc_id", lit(j).as("band"), key.as("bucket"))
+    }
     val wB = Window.partitionBy($"band", $"bucket")
     val banded = bands.reduce(_ unionByName _)
       .withColumn("bn", count(lit(1)).over(wB))
@@ -96,18 +114,20 @@ object DedupQueries {
       .select($"a", $"b", $"inter", $"jaccard")
   }
 
-  /** The same pairs as a DuckDB CTE chain ending in `dup_pairs`. */
-  private val lshPairsCte: String =
-    s"""$shinglesCte, mh AS ($minhashSelect),
+  /** The same pairs as a DuckDB CTE chain ending in `dup_pairs`,
+    * parameterized by the b×r banding (mirrors lshJaccardPairs). */
+  private def lshPairsCteFor(nBands: Int, nRows: Int): String = {
+    val bandRows = (0 until nBands).map { j =>
+      val key =
+        if (nRows == 1) s"mh$j"
+        else "md5(" + (0 until nRows)
+          .map(k => s"mh${j * nRows + k}").mkString(" || '|' || ") + ")"
+      if (j == 0) s"SELECT doc_id, 0 AS band, $key AS bucket FROM mh"
+      else s"SELECT doc_id, $j, $key FROM mh"
+    }.mkString("\n      UNION ALL ")
+    s"""$shinglesCte, mh AS (${minhashSelectFor(nBands * nRows)}),
     bands AS (
-      SELECT doc_id, 0 AS band, mh0 AS bucket FROM mh
-      UNION ALL SELECT doc_id, 1, mh1 FROM mh
-      UNION ALL SELECT doc_id, 2, mh2 FROM mh
-      UNION ALL SELECT doc_id, 3, mh3 FROM mh
-      UNION ALL SELECT doc_id, 4, mh4 FROM mh
-      UNION ALL SELECT doc_id, 5, mh5 FROM mh
-      UNION ALL SELECT doc_id, 6, mh6 FROM mh
-      UNION ALL SELECT doc_id, 7, mh7 FROM mh),
+      $bandRows),
     bandsf AS (
       SELECT doc_id, band, bucket FROM (
         SELECT doc_id, band, bucket,
@@ -130,6 +150,9 @@ object DedupQueries {
       LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
       JOIN sizes sa ON sa.doc_id = c.a
       JOIN sizes sb ON sb.doc_id = c.b)"""
+  }
+
+  private val lshPairsCte: String = lshPairsCteFor(8, 1)
 
   val all: Seq[Q] = Seq(
     Q(
@@ -196,6 +219,21 @@ object DedupQueries {
           UNION
           SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
         SELECT node, MIN(lbl) AS component FROM reach GROUP BY node ORDER BY node""")
+    ),
+    Q(
+      // LSH banding at r=2 (VERDICT r4 item 5): 4 bands × 2 rows over the
+      // same 8-minhash budget — a candidate must agree on BOTH minhashes
+      // of some band (P = 1-(1-s²)⁴ vs r=1's 1-(1-s)⁸), the setting a
+      // production 100 TB dedup runs to keep the band join's candidate
+      // volume proportional to the TRUE near-dup density instead of the
+      // single-hash collision rate. Same persisted-shingle-set plan, same
+      // bucket cap, same exact-Jaccard verify; q22 (r=1) is unchanged.
+      "q43_lsh_r2",
+      (s, dir) => {
+        import s.implicits._
+        lshJaccardPairs(s, dir, nBands = 4, nRows = 2).orderBy($"a", $"b")
+      },
+      Some(s"${lshPairsCteFor(4, 2)} SELECT a, b, inter, jaccard FROM dup_pairs ORDER BY a, b")
     ),
     Q(
       // SimHash: 8-bit signature via per-hex-digit majority vote over the

@@ -350,13 +350,20 @@ object KgQueries {
       Some(KgOracle.xmltsvEmptySql)
     ),
     Q(
-      // K3: count_xml_triples.sparql over the det powla path.
+      // K3: count_xml_triples.sparql over the det powla path. The count
+      // runs NARROW (per-sentence scalar inside the parse flatMap chain,
+      // Serializers.countXmlNodes) instead of exploding the full triple
+      // table for one number; the XML parse itself is intrinsic to the
+      // entry — cross-entry reuse of kg_xmltsv_powla's parse would need a
+      // persisted block that Bench/Verify deliberately unpersist between
+      // entries (and unpersisting a lineage-truncated localCheckpoint is
+      // unrecoverable), so each entry stays self-contained.
       "kg_count_xml",
       (s, dir) => {
         import s.implicits._
         val sents = KgOracle.detXmlDocs(s, dir)
           .flatMap(x => XmlTsvParser.parseDoc(x, KgOracle.detXmlCols))
-        Serializers.countXmlTriples(Pipeline.triples(sents).toDF())
+        Serializers.countXmlNodes(sents)
       },
       Some(KgOracle.countXmlSql)
     ),
@@ -433,6 +440,75 @@ object KgQueries {
           .orderBy(col("doc_id"), col("sent"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.tentenSql)
+    ),
+    Q(
+      // S4 raw-file ingest driver-gated end-to-end (was unit-only): the
+      // det corpus is rendered to ONE .conllu.gz FILE PER DOCUMENT
+      // (distributed, executor-side — the layout a migrating corpus
+      // actually has on disk), then read back through the real ingest
+      // path (Spark text source, transparent gz codec, filename→doc_id,
+      // line classification) → parse → analyze cascade. Output must be
+      // BIT-IDENTICAL to kg_pipeline_analyze's, so the file round-trip
+      // shares its oracle (the r3 equivalence-gating pattern).
+      // Reference: CoNLLRDFManager.java:100-116 (file/gz input modes).
+      "kg_file_ingest",
+      (s, dir) => {
+        val outDir = new java.io.File(
+          s"/tmp/graft-file-ingest-${new java.io.File(dir).getName}")
+        if (!new java.io.File(outDir, "_SUCCESS").exists()) {
+          outDir.mkdirs()
+          val base = outDir.getAbsolutePath
+          KgOracle.detDocs(s, dir).foreachPartition {
+            (it: Iterator[InputDoc]) =>
+              it.foreach { d =>
+                val os = new java.util.zip.GZIPOutputStream(
+                  new java.io.FileOutputStream(
+                    new java.io.File(base, s"${d.doc_id}.conllu.gz")))
+                try os.write(d.spans.map(_.text).mkString("\n")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                finally os.close()
+              }
+          }
+          new java.io.File(outDir, "_SUCCESS").createNewFile()
+        }
+        val ingested = TsvIngest.readFiles(s, s"$outDir/*.conllu.gz")
+        Pipeline.rewriteTriples(
+            Pipeline.parse(ingested, KgOracle.detCols), Pipeline.analyzeCascade)
+          .toDF().orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.analyzeSql)
+    ),
+    Q(
+      // K7 manager driver-gated end-to-end (was unit-only): the WHOLE
+      // pipeline is built FROM a JSON config — parquet input (the
+      // north-rule span-table shape: doc_id + array<struct<kind,text,
+      // media_ref,offset>>), CoNLLStreamExtractor columns, the
+      // CoNLLRDFUpdater stack with U1 `{n}`-suffixed script paths, the
+      // triples formatter — and must hash-equal kg_pipeline_analyze.
+      // One entry gates config parsing, component linking, suffix
+      // handling, the parquet input mode, and the cascade wiring.
+      // Reference: CoNLLRDFManager.java:150-201, examples/analyze-ud.json.
+      "kg_manager_analyze",
+      (s, dir) => {
+        val p = s"/tmp/graft-manager-dets-${new java.io.File(dir).getName}"
+        if (!new java.io.File(p, "_SUCCESS").exists())
+          KgOracle.detDocs(s, dir).write.mode("overwrite").parquet(p)
+        val json = s"""{
+          "input": {"parquet": "$p"},
+          "pipeline": [
+            {"class": "CoNLLStreamExtractor",
+             "columns": ${KgOracle.detCols.mkString("[\"", "\",\"", "\"]")}},
+            {"class": "CoNLLRDFUpdater", "updates": [
+              {"path": "sparql/remove-IGNORE.sparql{1}"},
+              {"path": "sparql/UPOS-to-POSsynt.sparql"},
+              {"path": "EDGE-to-POSsynt.sparql{1}"},
+              {"path": "consolidate-POSsynt.sparql"}]},
+            {"class": "CoNLLRDFFormatter", "mode": "triples"}
+          ]}"""
+        PipelineManager.run(s, json)
+          .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.analyzeSql)
     )
   )
 }

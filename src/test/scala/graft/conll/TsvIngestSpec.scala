@@ -19,7 +19,8 @@ class TsvIngestSpec extends AnyFunSuite {
     val spark = graft.TestSpark.spark
     val docs = TsvIngest.readFiles(spark, corpus).collect()
     assert(docs.length == 1)
-    assert(docs.head.doc_id == "en-ud-dev.conllu")
+    // extension + compression suffix both stripped from the doc id
+    assert(docs.head.doc_id == "en-ud-dev")
 
     val src = Source.fromInputStream(
       new GZIPInputStream(new FileInputStream(corpus)), "UTF-8")
@@ -28,7 +29,7 @@ class TsvIngestSpec extends AnyFunSuite {
     // identical span classification and identical parse
     assert(docs.head.spans == TsvIngest.toSpans(text))
     val viaSpark = SpanParser.parseDoc(docs.head, cols)
-    val direct = SpanParser.parseDoc(InputDoc("en-ud-dev.conllu", TsvIngest.toSpans(text)), cols)
+    val direct = SpanParser.parseDoc(InputDoc("en-ud-dev", TsvIngest.toSpans(text)), cols)
     assert(viaSpark.length == direct.length)
     assert(viaSpark == direct)
     // the known corpus shape: ~2k sentences

@@ -46,7 +46,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(star.values.toSet == Set(n(1)))
     // diameter 59, log2(59) ≈ 5.9 — doubling reach, not walking it
     assert(rounds <= 9, s"expected O(log n) rounds, took $rounds")
-    val capped = labelsOf(ConnectedComponents.run(spark, edges, maxIter = 10))
+    // strict mode refuses to return the non-converged (wrong) labels…
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.run(spark, edges, maxIter = 10)
+    }
+    // …and the diagnostic non-strict run shows WHY: labels didn't reach
+    val capped = labelsOf(
+      ConnectedComponents.run(spark, edges, maxIter = 10, strict = false))
     assert(capped.values.exists(_ != n(1)), "min-label should NOT converge in 10 rounds")
   }
 }
