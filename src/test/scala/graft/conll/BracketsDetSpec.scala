@@ -34,24 +34,8 @@ class BracketsDetSpec extends AnyFunSuite {
     }
   }
 
-  private def expectedTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] = {
-    val out = scala.collection.mutable.Set[Triple]()
-    out += Triple(s":s${n}_0", "rdf:type", "nif:Sentence", oUri = true)
-    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", s":s${n}_0", oUri = true)
-    for ((w, idx) <- ws.zipWithIndex) {
-      val tid = idx + 1
-      val uri = s":s${n}_$tid"
-      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
-      if (tid < ws.length)
-        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
-      out += Triple(uri, "conll:WORD", w, oUri = false)
-      out += Triple(uri, "conll:POS",
-        KgOracle.uposFromHex(KgOracle.md5hex(w).charAt(0)), oUri = false)
-      out += Triple(uri, "conll:HEAD", s":s${n}_0", oUri = true) // no HEAD column
-      out += Triple(uri, "conll:PARSE", KgOracle.bracketParse(shape)(idx), oUri = false)
-    }
-    out.toSet
-  }
+  private def expectedTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] =
+    DetClosedForms.bracketTriples(n, shape, ws)
 
   test("both shapes occur in the probe vocabulary") {
     val shapes = (1 to 50).map(i => KgOracle.bracketShapeOf(s"w$i")).toSet
@@ -77,15 +61,8 @@ class BracketsDetSpec extends AnyFunSuite {
 
   /** Span-URI mode: base core minus the PARSE literal (no tree2bracket —
     * the tree stays) plus the hand-derived per-shape span-URI tree. */
-  private def expectedSpanTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] = {
-    val base = expectedTriples(n, shape, ws).filterNot(_.p == "conll:PARSE")
-    val tree = KgOracle.bracketSpanTpl.collect {
-      case (sh, s, p, o, u) if sh == shape =>
-        Triple(s.replace("%", n.toString), p,
-          if (u) o.replace("%", n.toString) else o, oUri = u)
-    }
-    base ++ tree
-  }
+  private def expectedSpanTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] =
+    DetClosedForms.bracketSpanTriples(n, shape, ws)
 
   for (shape <- 0 to 1) {
     test(s"shape $shape span URIs == hand-derived trace (incl. the last-scan overshoot)") {

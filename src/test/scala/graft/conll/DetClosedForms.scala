@@ -1,0 +1,107 @@
+package graft.conll
+
+import graft.queries.KgOracle
+
+/** Hand-derived closed forms of the deterministic det-corpus paths —
+  * the SAME tables the DuckDB oracles encode as VALUES/CTEs, expressed
+  * in Scala so specs (ParseDetSpec, BracketsDetSpec, DetSeedSweepSpec)
+  * can assert engine == closed form TRIPLE FOR TRIPLE on arbitrary word
+  * arrays, not just the fixed instances the driver gate runs.
+  *
+  * Every form is a pure function of the word array: POS/shape/attributes
+  * derive from md5(word) exactly as the generators do, so the words
+  * themselves are free variables — which is what makes a randomized
+  * sweep sound.
+  */
+object DetClosedForms {
+
+  /** Converged parse-cascade output for sentence n of pattern j
+    * (KgOracle.parseTree / parseShiftLeft, derived by hand from the
+    * REDUCE-english rules — see ParseDetSpec's worked traces). */
+  def parseTriples(n: Int, j: Int, ws: Seq[String]): Set[Triple] = {
+    val types = KgOracle.parseTagTypes
+    val tree = KgOracle.parseTree(j)
+    val out = scala.collection.mutable.Set[Triple]()
+    out += Triple(s":s${n}_0", "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", s":s${n}_0", oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ws.length)
+        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:LEMMA",
+        KgOracle.parseLemmaForced.getOrElse((j, tid), "l" + w), oUri = false)
+      val pos = KgOracle.parsePos(j)(idx)
+      out += Triple(uri, "conll:POS", pos, oUri = false)
+      val h = tree.get(tid).map(_._1).getOrElse(0)
+      out += Triple(uri, "conll:HEAD", s":s${n}_$h", oUri = true)
+      tree.get(tid).foreach { case (_, e) =>
+        out += Triple(uri, "conll:EDGE", e, oUri = false)
+      }
+      types(pos).foreach(c => out += Triple(uri, "rdf:type", c, oUri = true))
+    }
+    // budget-capped fixpoints strand SHIFT edges (P6)
+    for ((f, t) <- KgOracle.parseShiftLeft(j))
+      out += Triple(s":s${n}_$f", "conll:SHIFT", s":s${n}_$t", oUri = true)
+    out.toSet
+  }
+
+  /** Converged tree2bracket output for sentence n of the given shape
+    * (KgOracle.bracketParse — see BracketsDetSpec's worked trace). */
+  def bracketTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] = {
+    val out = scala.collection.mutable.Set[Triple]()
+    out += Triple(s":s${n}_0", "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", s":s${n}_0", oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ws.length)
+        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:POS",
+        KgOracle.uposFromHex(KgOracle.md5hex(w).charAt(0)), oUri = false)
+      out += Triple(uri, "conll:HEAD", s":s${n}_0", oUri = true) // no HEAD column
+      out += Triple(uri, "conll:PARSE", KgOracle.bracketParse(shape)(idx), oUri = false)
+    }
+    out.toSet
+  }
+
+  /** Span-URI mode: base core minus the PARSE literal (no tree2bracket —
+    * the tree stays) plus the hand-derived per-shape span-URI tree
+    * (KgOracle.bracketSpanTpl, incl. the reference's last-scan
+    * overshoot). */
+  def bracketSpanTriples(n: Int, shape: Int, ws: Seq[String]): Set[Triple] = {
+    val base = bracketTriples(n, shape, ws).filterNot(_.p == "conll:PARSE")
+    val tree = KgOracle.bracketSpanTpl.collect {
+      case (sh, s, p, o, u) if sh == shape =>
+        Triple(s.replace("%", n.toString), p,
+          if (u) o.replace("%", n.toString) else o, oUri = u)
+    }
+    base ++ tree
+  }
+
+  /** Segment-splitter path (KgOracle.segmentsSql's closed form): 4-token
+    * single-WORD sentences; the '#newsegment' comment the splitter
+    * synthesizes surfaces as rdfs:comment on the FOLLOWING sentence —
+    * sentences at position si with si % 3 == 0 (si = sent - 1 > 0). */
+  def segTriples(n: Int, ws: Seq[String]): Set[Triple] = {
+    val out = scala.collection.mutable.Set[Triple]()
+    out += Triple(s":s${n}_0", "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", s":s${n}_0", oUri = true)
+    if (n > 1 && (n - 1) % 3 == 0)
+      out += Triple(s":s${n}_0", "rdfs:comment", "newsegment", oUri = false)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ws.length)
+        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:HEAD", s":s${n}_0", oUri = true)
+    }
+    out.toSet
+  }
+}

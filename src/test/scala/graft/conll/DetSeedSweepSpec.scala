@@ -1,0 +1,107 @@
+package graft.conll
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.KgOracle
+
+/** Randomized det-corpus sweep (VERDICT r4 item 7): the det-oracle driver
+  * gates run FIXED word sets; this spec draws random word arrays from N
+  * seeded RNGs, regenerates each det corpus, and asserts the engine
+  * equals the hand-derived closed form TRIPLE FOR TRIPLE on every
+  * sentence — catching derivation blind spots no fixed instance
+  * exercises (odd lengths, truncation at every cut point, shape
+  * sequences the fixed probes never hit).
+  *
+  * Sound because every closed form is a pure function of the word array
+  * (attributes derive from md5(word) exactly as the generators do) — see
+  * DetClosedForms. Seeds are fixed so a failure reproduces; the words
+  * they generate are arbitrary.
+  */
+class DetSeedSweepSpec extends AnyFunSuite {
+
+  private val seeds = Seq(0xA11CEL, 7L, 42L, 1234L, 987654L)
+  private val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+  private def randomWords(rnd: scala.util.Random, n: Int): Array[String] =
+    Array.fill(n)(
+      (0 until (1 + rnd.nextInt(8))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+
+  private def diff(got: Set[Triple], exp: Set[Triple], ctx: String): Unit = {
+    val extra = got -- exp
+    val missing = exp -- got
+    assert(extra.isEmpty && missing.isEmpty,
+      s"\n[$ctx]" +
+        s"\nextra=${extra.toSeq.sortBy(t => (t.s, t.p, t.o)).mkString("\n  ", "\n  ", "")}" +
+        s"\nmissing=${missing.toSeq.sortBy(t => (t.s, t.p, t.o)).mkString("\n  ", "\n  ", "")}")
+  }
+
+  for (seed <- seeds) test(s"seed $seed: SR-parse corpus == closed form at random length") {
+    val rnd = new scala.util.Random(seed)
+    val words = randomWords(rnd, rnd.nextInt(2 * KgOracle.parseCycle + 13))
+    val sents = SpanParser.parseDoc(
+      InputDoc("d1", KgOracle.parseSpansFor(words)), KgOracle.detParseCols)
+    // expected sentences: complete patterns in generator order
+    val expected = scala.collection.mutable.ArrayBuffer[(Int, Seq[String])]()
+    var i = 0
+    while (i < words.length) {
+      val c = i / KgOracle.parseCycle
+      val p = i % KgOracle.parseCycle
+      val j = KgOracle.parseOffsets.indexWhere(_ > p) - 1
+      if (p == KgOracle.parseOffsets(j) &&
+          c * KgOracle.parseCycle + KgOracle.parseOffsets(j + 1) <= words.length)
+        expected += ((j, words.slice(i, c * KgOracle.parseCycle + KgOracle.parseOffsets(j + 1)).toSeq))
+      i += 1
+    }
+    assert(sents.length == expected.length,
+      s"sentence count: engine=${sents.length} closed=${expected.length} (|words|=${words.length})")
+    for ((s, idx) <- sents.zipWithIndex) {
+      val g = SentGraph(s)
+      for ((script, n) <- Pipeline.parseCascade) script.run(g, n)
+      val (j, ws) = expected(idx)
+      diff(g.all.toSet, DetClosedForms.parseTriples(idx + 1, j, ws),
+        s"seed=$seed sent=${idx + 1} pattern=P$j")
+    }
+  }
+
+  for (seed <- seeds) test(s"seed $seed: bracket corpus == closed form, both URI regimes") {
+    val rnd = new scala.util.Random(seed * 31 + 1)
+    val words = randomWords(rnd, rnd.nextInt(9 * KgOracle.BRACKET_LEN + 3))
+    val spans = KgOracle.bracketSpansFor(words)
+    val nSents = words.length / KgOracle.BRACKET_LEN
+    def wsOf(si: Int) = words.slice(si * KgOracle.BRACKET_LEN, (si + 1) * KgOracle.BRACKET_LEN).toSeq
+
+    // default counter-URI regime + tree2bracket roundtrip
+    val sents = BracketsParser.parseDoc(InputDoc("d1", spans), KgOracle.detBracketCols)
+    assert(sents.length == nSents)
+    for ((s, si) <- sents.zipWithIndex) {
+      val g = SentGraph(s)
+      TreesScripts.tree2bracket.run(g, 1)
+      val shape = KgOracle.bracketShapeOf(words(si * KgOracle.BRACKET_LEN))
+      diff(g.all.toSet, DetClosedForms.bracketTriples(si + 1, shape, wsOf(si)),
+        s"seed=$seed sent=${si + 1} shape=$shape")
+    }
+
+    // span-URI regime (no rewrite; the tree stays)
+    val spanSents = BracketsParser.parseDoc(
+      InputDoc("d1", spans), KgOracle.detBracketCols, spanUris = true)
+    for ((s, si) <- spanSents.zipWithIndex) {
+      val shape = KgOracle.bracketShapeOf(words(si * KgOracle.BRACKET_LEN))
+      diff(s.triples.toSet, DetClosedForms.bracketSpanTriples(si + 1, shape, wsOf(si)),
+        s"seed=$seed spanUri sent=${si + 1} shape=$shape")
+    }
+  }
+
+  for (seed <- seeds) test(s"seed $seed: segment corpus == closed form through the splitter") {
+    val rnd = new scala.util.Random(seed * 17 + 5)
+    val words = randomWords(rnd, rnd.nextInt(11 * KgOracle.SEG_LEN + 3))
+    val doc = SegmentSplitter.insertNewSegmentComments(
+      InputDoc("d1", KgOracle.segSpansFor(words)))
+    val sents = SpanParser.parseDoc(doc, KgOracle.detSegCols)
+    val nSents = words.length / KgOracle.SEG_LEN
+    assert(sents.length == nSents)
+    for ((s, si) <- sents.zipWithIndex) {
+      val ws = words.slice(si * KgOracle.SEG_LEN, (si + 1) * KgOracle.SEG_LEN).toSeq
+      diff(s.triples.toSet, DetClosedForms.segTriples(si + 1, ws),
+        s"seed=$seed sent=${si + 1}")
+    }
+  }
+}

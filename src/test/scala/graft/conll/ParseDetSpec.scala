@@ -56,36 +56,9 @@ class ParseDetSpec extends AnyFunSuite {
   }
 
   /** The oracle's closed form, built from the same constants parseSql
-    * embeds as VALUES tables. */
-  private def expectedTriples(n: Int, j: Int, ws: Seq[String]): Set[Triple] = {
-    val types = KgOracle.parseTagTypes
-    val tree = KgOracle.parseTree(j)
-    val out = scala.collection.mutable.Set[Triple]()
-    out += Triple(s":s${n}_0", "rdf:type", "nif:Sentence", oUri = true)
-    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", s":s${n}_0", oUri = true)
-    for ((w, idx) <- ws.zipWithIndex) {
-      val tid = idx + 1
-      val uri = s":s${n}_$tid"
-      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
-      if (tid < ws.length)
-        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
-      out += Triple(uri, "conll:WORD", w, oUri = false)
-      out += Triple(uri, "conll:LEMMA",
-        KgOracle.parseLemmaForced.getOrElse((j, tid), "l" + w), oUri = false)
-      val pos = KgOracle.parsePos(j)(idx)
-      out += Triple(uri, "conll:POS", pos, oUri = false)
-      val h = tree.get(tid).map(_._1).getOrElse(0)
-      out += Triple(uri, "conll:HEAD", s":s${n}_$h", oUri = true)
-      tree.get(tid).foreach { case (_, e) =>
-        out += Triple(uri, "conll:EDGE", e, oUri = false)
-      }
-      types(pos).foreach(c => out += Triple(uri, "rdf:type", c, oUri = true))
-    }
-    // budget-capped fixpoints strand SHIFT edges (P6)
-    for ((f, t) <- KgOracle.parseShiftLeft(j))
-      out += Triple(s":s${n}_$f", "conll:SHIFT", s":s${n}_$t", oUri = true)
-    out.toSet
-  }
+    * embeds as VALUES tables (shared with DetSeedSweepSpec). */
+  private def expectedTriples(n: Int, j: Int, ws: Seq[String]): Set[Triple] =
+    DetClosedForms.parseTriples(n, j, ws)
 
   for (j <- KgOracle.parsePos.indices) {
     test(s"pattern P$j: converged graph == hand-derived closed form, exactly") {
