@@ -433,7 +433,7 @@ object DedupQueries {
             graft.functions.Hashing.md5hex(s"${p}_${i + 1}").charAt(0)) >= 0) 1.0 else -1.0
         }
         val pB = s.sparkContext.broadcast(planes)
-        val base = Tables.embeddings(s, dir)
+        val base = Tables.widened(Tables.embeddings(s, dir))
           .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         val aug = base.flatMap { case (id, v) =>
           if (id % 20 == 0) {

@@ -36,6 +36,19 @@ object KgOracle {
 
   val detCols: Seq[String] = Seq("ID", "WORD", "UPOS", "HEAD", "EDGE")
 
+  /** Shared documents scan for every det generator, WIDENED when the
+    * file layout under-splits (Tables.widened): the driver testdata is a
+    * single ~600 KB parquet file → one input split → every shuffle-free
+    * det parse cascade ran single-threaded regardless of session cores
+    * (measured 3.5 s vs 0.4 s for the identical 5k-doc corpus written as
+    * 64 files — graft.tools.ScaleSweep surfaced it). At scale the guard
+    * is a no-op; see the Scaladoc on Tables.widened. */
+  private def docTexts(s: SparkSession, dir: String): Dataset[(String, String)] = {
+    import s.implicits._
+    Tables.widened(Tables.documents(s, dir))
+      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+  }
+
   /** Tokens per deterministic sentence. */
   val SENT_LEN = 15
 
@@ -71,8 +84,7 @@ object KgOracle {
     * span-table contract. */
   def detDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         val words = text.split("\\s+")
         val spans = scala.collection.mutable.ArrayBuffer[Span]()
@@ -116,8 +128,7 @@ object KgOracle {
     * oracle-checked. */
   def detXmlDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         val words = text.split("\\s+")
         val spans = scala.collection.mutable.ArrayBuffer[Span]()
@@ -158,8 +169,7 @@ object KgOracle {
 
   def detDirtyDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         val words = text.split("\\s+")
         val spans = scala.collection.mutable.ArrayBuffer[Span]()
@@ -220,8 +230,7 @@ object KgOracle {
 
   def detSrlDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         val words = text.split("\\s+")
         val spans = scala.collection.mutable.ArrayBuffer[Span]()
@@ -280,8 +289,7 @@ object KgOracle {
     * SQL. */
   def detXmlGlueDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         val words = text.split("\\s+")
         val nSents = words.length / SENT_LEN
@@ -442,8 +450,7 @@ object KgOracle {
   /** documents.parquet → deterministic SR-parse span docs. Narrow. */
   def detParseDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         InputDoc(docId, parseSpansFor(text.split("\\s+")))
       }
@@ -504,8 +511,7 @@ object KgOracle {
   /** documents.parquet → deterministic bracket span docs. Narrow. */
   def detBracketDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         InputDoc(docId, bracketSpansFor(text.split("\\s+")))
       }
@@ -540,8 +546,7 @@ object KgOracle {
 
   def detSegDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) =>
         InputDoc(docId, segSpansFor(text.split("\\s+")))
       }
@@ -613,8 +618,7 @@ object KgOracle {
 
   def detTenDocs(s: SparkSession, dir: String): Dataset[(String, Seq[String])] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+    docTexts(s, dir)
       .map { case (docId, text) => (docId, tenLinesFor(text.split("\\s+"))) }
   }
 

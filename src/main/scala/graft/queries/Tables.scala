@@ -21,4 +21,19 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame    = t(s, dir, "events")
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
+
+  /** Widen an under-split scan for a NARROW downstream chain: a corpus
+    * written as one small parquet file arrives as ONE input split, so a
+    * shuffle-free pipeline hung off it (the det parse cascades, the
+    * per-vector embedding loops) runs single-threaded no matter how many
+    * cores the session has. Repartition ONLY when the scan yields fewer
+    * splits than the session's parallelism — on any real multi-split
+    * corpus (at 100 TB a scan has thousands of file splits) the guard
+    * never fires, so this can never introduce a full-corpus shuffle;
+    * when it does fire the exchanged bytes are by construction smaller
+    * than one split. */
+  def widened(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
 }
