@@ -31,7 +31,13 @@ object Tables {
     * corpus (at 100 TB a scan has thousands of file splits) the guard
     * never fires, so this can never introduce a full-corpus shuffle;
     * when it does fire the exchanged bytes are by construction smaller
-    * than one split. */
+    * than one split.
+    *
+    * Apply ONLY where downstream per-row work dominates (object
+    * pipelines: det parse cascades, per-vector loops, big explodes) —
+    * for columnar scan→agg plans the exchange costs more than the
+    * single-threaded vectorized decode saves (measured: widening
+    * lineitem made q01 0.4 → 0.7 s warm). */
   def widened(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df
