@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *    reach per round, O(log n) rounds).
   *  - `localCheckpoint` truncates lineage every iteration so the plan
   *    doesn't grow with the loop (SURVEY §4 "fixpoint executor").
-  *  - convergence check compares label sums — one count-style action per
-  *    iteration, exact under min-label monotonicity (labels only decrease,
-  *    so the concatenated min is a fixed point iff no label changed).
+  *  - the convergence check rides the round's one materialization job
+  *    (changed-label accumulator bumped while the checkpoint writes) —
+  *    exact under min-label monotonicity, and no per-round compare join
+  *    over the full label table (at 10^9 nodes that join was a real
+  *    shuffle every round, not just a scheduling cost).
   */
 object ConnectedComponents {
 
@@ -51,17 +53,27 @@ object ConnectedComponents {
     while (!converged && i < maxIter) {
       val prop = labels.join(sym, labels("node") === sym("src"))
         .select(sym("dst").as("node"), labels("lbl"))
-      val next = labels.union(prop)
-        .groupBy($"node").agg(min($"lbl").as("lbl"))
+      // Convergence detection rides the round's ONE materialization job:
+      // the old label travels through the min-aggregation as a second
+      // column and a bump-UDF counts rows whose label changed while the
+      // eager localCheckpoint materializes the partitions — no separate
+      // compare job per round (was a join + isEmpty action; on short
+      // per-round data the scheduling floor of that extra job dominated
+      // the loop). Labels are monotonically non-increasing, so
+      // changed == 0 is exact; accumulator over-count under task retry
+      // only ever adds a spare round, never falsely converges.
+      val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$i")
+      val bump = udf { (l: String, o: String) =>
+        if (o == null || l != o) changedAcc.add(1)
+        l
+      }
+      val next = labels.select($"node", $"lbl", $"lbl".as("old"))
+        .union(prop.withColumn("old", lit(null).cast("string")))
+        .groupBy($"node").agg(min($"lbl").as("lbl"), max($"old").as("old"))
+        .select($"node", bump($"lbl", $"old").as("lbl"))
         .localCheckpoint()
-      // Labels are monotonically non-increasing; any change strictly
-      // shrinks at least one label, so an anti-join emptiness test is exact.
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .isEmpty
       labels = next
-      converged = changed
+      converged = changedAcc.value == 0
       i += 1
     }
     // non-convergence means silently-wrong labels (a label may not yet

@@ -28,14 +28,23 @@ object IterativeClosure {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
+      // the frontier-size check rides the round's one materialization
+      // job (bump-UDF + eager localCheckpoint) instead of a separate
+      // isEmpty action, and `labeled` is NOT re-checkpointed: it is a
+      // union of already-checkpointed frontiers, so its lineage stays
+      // shallow (≤ rounds) with no extra job per round — together this
+      // cuts the loop from 3 scheduled jobs per round to 1
+      val sizeAcc = spark.sparkContext.longAccumulator(s"bfs_frontier_$i")
+      val bump = udf { (n: String) => sizeAcc.add(1); n }
       val next = e.join(frontier, e("parent") === frontier("node"))
         .select(e("child").as("node"), (frontier("depth") + 1).as("depth"))
         .join(labeled.select($"node".as("seen")), $"node" === $"seen", "left_anti")
         .groupBy($"node").agg(min($"depth").as("depth"))
+        .select(bump($"node").as("node"), $"depth")
         .localCheckpoint()
-      if (next.isEmpty) done = true
+      if (sizeAcc.value == 0L) done = true
       else {
-        labeled = labeled.union(next).localCheckpoint()
+        labeled = labeled.union(next)
         frontier = next
       }
       i += 1
