@@ -31,19 +31,64 @@ object TsvIngest {
       Span(kind, line, "", i)
     }
 
+  /** file name → doc id: CoNLL-family extension and compression suffix
+    * stripped (corpus/file.conllu.gz → "file") — the id a downstream
+    * join or oracle sees should not depend on how the corpus was
+    * compressed or suffixed on disk. */
+  private val IdRe = ".*?([^/]+?)(\\.(conllu|conll|tsv))?(\\.gz)?$".r
+  def docIdOf(path: String): String = path match {
+    case IdRe(id, _, _, _) => id
+    case _ => path
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
   /** Read text files (path or glob; gz transparent) into InputDocs, one
-    * per file, doc_id = the file name with the CoNLL-family extension and
-    * any compression suffix stripped (corpus/file.conllu.gz → "corpus/
-    * file"-less "file" — the id a downstream join or oracle sees should
-    * not depend on how the corpus was compressed or suffixed on disk). */
+    * per file, doc_id = docIdOf(file name).
+    *
+    * Many-small-files ingest is the layout a migrating corpus actually
+    * has, and Spark's file sources pay heavy per-file machinery for it:
+    * on a 5k-file corpus the `wholetext` text source took ~11 s warm and
+    * `binaryFile` ~7 s, while a plain single-threaded JVM loop reads the
+    * same files in 0.2 s. So this uses the standard object-store ingest
+    * pattern instead: ONE driver-side listing (exactly what every file
+    * source's InMemoryFileIndex does anyway — the path array is the same
+    * order of driver memory), the paths spread round-robin across the
+    * cluster, and executors read bytes directly in a mapPartitions
+    * (genuine per-partition imperative IO — SURVEY §2.6's sanctioned
+    * mapPartitions shape). On object stores there is no data locality to
+    * lose; each task streams its files with zero per-file framework cost.
+    *
+    * Reading raw bytes also puts the U18 byte-level UTF-8 gate where it
+    * belongs: BEFORE decoding (Pipeline.isValidUtf8 — once text is a JVM
+    * String the malformed-byte information is gone); an invalid file
+    * fails loudly like the reference CLI (CoNLLRDFUpdater.java:779-789). */
   def readFiles(spark: SparkSession, path: String): Dataset[InputDoc] = {
     import spark.implicits._
-    spark.read.option("wholetext", "true").text(path)
-      .select(
-        regexp_extract(input_file_name(),
-          "([^/]+?)(\\.(conllu|conll|tsv))?(\\.gz)?$", 1).as("doc_id"),
-        col("value"))
-      .as[(String, String)]
-      .map { case (name, text) => InputDoc(name, toSpans(text)) }
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(hp) match {
+      case null => Array.empty[String]
+      case st => st.filter(_.isFile).map(_.getPath.toUri.toString)
+    }
+    val par = math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism * 4))
+    spark.createDataset(files.toSeq.sorted)
+      .repartition(par)
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { p =>
+          val fp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
+          val in = fp.getFileSystem(conf).open(fp)
+          val raw = try in.readAllBytes() finally in.close()
+          val bytes = if (p.endsWith(".gz")) gunzip(raw) else raw
+          require(Pipeline.isValidUtf8(bytes), s"non-UTF-8 input file: $p")
+          InputDoc(docIdOf(p),
+            toSpans(new String(bytes, java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }
   }
 }
