@@ -44,8 +44,12 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
-    var labels = sym.select($"src".as("node")).distinct()
-      .withColumn("lbl", $"node")
+    // seed with min(node, direct neighbors): the state after one
+    // propagation round of the node-id init, computed inside the same
+    // aggregation that enumerates the nodes (no join) — one fewer
+    // iteration for free, same fixpoint
+    var labels = sym.groupBy($"src").agg(min($"dst").as("m"))
+      .select($"src".as("node"), least($"src", $"m").as("lbl"))
       .localCheckpoint()
 
     var converged = false
