@@ -120,6 +120,7 @@ object ConnectedComponents {
     import spark.implicits._
     var e = edges.select($"src".as("u"), $"dst".as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
+    var eCount = e.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -136,15 +137,29 @@ object ConnectedComponents {
       val ori = ls.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
         .distinct()
       val mins2 = ori.groupBy($"u").agg(min($"v").as("m"))
+      // The edge count rides the materialization job (same accumulator
+      // pattern as run()), replacing the per-round count() action — but
+      // accumulators are at-least-once under task retry, so the count is
+      // only the TRIGGER: convergence itself is confirmed by exact
+      // two-sided anti-join set equality (both sides distinct, mutual ⊆
+      // ⇒ equal, independent of the counter). A retry-inflated count can
+      // only delay the trigger by a round (the fixpoint is stable, so a
+      // clean round re-fires it); it can never falsely converge, and a
+      // pathological every-round-retry stall hits the loud maxIter
+      // require below rather than mislabeling.
+      val cntAcc = spark.sparkContext.longAccumulator(s"star_edges_$i")
+      val bump = udf { (u: String) => cntAcc.add(1); u }
       val ss = ori.join(mins2, "u")
         .select($"v".as("u"), $"m".as("v"))
         .union(mins2.select($"u", $"m".as("v")))
         .filter($"u" =!= $"v").distinct()
+        .select(bump($"u").as("u"), $"v")
         .localCheckpoint()
-      // fixpoint: ss == e as sets (both distinct → count + subset is exact)
-      converged = ss.count() == e.count() &&
-        ss.join(e, Seq("u", "v"), "left_anti").isEmpty
+      converged = cntAcc.value == eCount &&
+        ss.join(e, Seq("u", "v"), "left_anti").isEmpty &&
+        e.join(ss, Seq("u", "v"), "left_anti").isEmpty
       e = ss
+      eCount = cntAcc.value
       i += 1
     }
     // a non-converged edge set is NOT a star per component — the labels

@@ -453,8 +453,10 @@ object KgQueries {
       // Reference: CoNLLRDFManager.java:100-116 (file/gz input modes).
       "kg_file_ingest",
       (s, dir) => {
+        // v-tag: bump when the det generator changes, so a stale /tmp
+        // fixture from an older build can never satisfy the marker check
         val outDir = new java.io.File(
-          s"/tmp/graft-file-ingest-${new java.io.File(dir).getName}")
+          s"/tmp/graft-file-ingest-v1-${new java.io.File(dir).getName}")
         if (!new java.io.File(outDir, "_SUCCESS").exists()) {
           outDir.mkdirs()
           val base = outDir.getAbsolutePath
@@ -490,7 +492,7 @@ object KgQueries {
       // Reference: CoNLLRDFManager.java:150-201, examples/analyze-ud.json.
       "kg_manager_analyze",
       (s, dir) => {
-        val p = s"/tmp/graft-manager-dets-${new java.io.File(dir).getName}"
+        val p = s"/tmp/graft-manager-dets-v1-${new java.io.File(dir).getName}"
         if (!new java.io.File(p, "_SUCCESS").exists())
           KgOracle.detDocs(s, dir).write.mode("overwrite").parquet(p)
         val json = s"""{

@@ -18,6 +18,10 @@ object TimeOne {
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       println(f"[timeone] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // same between-run hygiene as Bench/Verify: drop cached plans AND
+      // checkpoint/persist blocks so runs don't accumulate executor memory
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
