@@ -17,6 +17,16 @@ object DedupQueries {
 
   private def md5s(c: Column): Column = md5(c.cast("binary"))
 
+  /** Fixed per-language character-bigram profiles for q44 (the classic
+    * n-gram language-ID shape, Cavnar & Trenkle 1994 scaled down to a
+    * deterministic 5-bigram probe per language; shared by the Spark plan
+    * and the oracle VALUES table). */
+  private val langProfiles: Seq[(String, String)] = Seq(
+    "en" -> "th", "en" -> "he", "en" -> "in", "en" -> "er", "en" -> "an",
+    "de" -> "en", "de" -> "ch", "de" -> "ei", "de" -> "de", "de" -> "te",
+    "es" -> "la", "es" -> "os", "es" -> "as", "es" -> "es", "es" -> "do",
+    "fr" -> "le", "fr" -> "re", "fr" -> "nt", "fr" -> "ou", "fr" -> "ai")
+
   /** doc_id + word-3-gram shingles (ordered). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -370,6 +380,72 @@ object DedupQueries {
             ROUND(SUM(CASE WHEN regexp_matches(word, '[aeiou]$$') THEN 1 ELSE 0 END) / COUNT(*), 6) AS vowel_ratio,
             ROUND(SUM(length(word)) / COUNT(*), 6) AS avg_len
           FROM tk GROUP BY doc_id) a ORDER BY doc_id""")
+    ),
+    Q(
+      // Language-ID, the REAL n-gram way (q24 is the cheap length/vowel
+      // heuristic): a fixed per-language character-bigram profile table
+      // is broadcast against the exploded bigram stream of each document;
+      // score(lang) = profile-hit frequency / total bigrams, winner =
+      // argmax with a deterministic lexicographic tiebreak. Plan shape:
+      // narrow explode (~len-1 rows per doc) → broadcast join on the
+      // 20-row profile → one groupBy — the bigram stream never shuffles
+      // wider than (doc, lang) partials, so the op is linear in corpus
+      // bytes at 100 TB. Profiles are tiny here (5 bigrams/lang); a
+      // production table with 10^4 bigrams × 100 languages still
+      // broadcasts.
+      "q44_langid_bigram",
+      (s, dir) => {
+        import s.implicits._
+        val prof = langProfiles.toDF("lang", "bigram")
+        val docs = Tables.widened(Tables.documents(s, dir))
+          .select($"doc_id", lower($"text").as("t"))
+          .filter(length($"t") >= 2)
+          .select($"doc_id", $"t", (length($"t") - 1).cast("bigint").as("n"))
+        val hits = docs
+          .select($"doc_id", $"n",
+            explode(sequence(lit(1), length($"t") - 1)).as("i"), $"t")
+          .select($"doc_id", $"n", expr("substring(t, i, 2)").as("bigram"))
+          .join(broadcast(prof), "bigram")
+          .groupBy($"doc_id", $"n", $"lang").agg(count(lit(1)).as("hits"))
+        val scored = docs.select($"doc_id", $"n")
+          .crossJoin(broadcast(prof.select($"lang").distinct()))
+          .join(hits, Seq("doc_id", "n", "lang"), "left_outer")
+          .na.fill(0L, Seq("hits"))
+          .withColumn("score", round($"hits" / $"n", 6))
+        val w = Window.partitionBy($"doc_id")
+          .orderBy($"score".desc, $"lang".asc)
+        scored.withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"doc_id", $"lang".as("lang_guess"), $"hits", $"score")
+          .orderBy($"doc_id")
+      },
+      Some({
+        val vals = langProfiles
+          .map { case (l, b) => s"('$l','$b')" }.mkString(", ")
+        s"""WITH prof(lang, bigram) AS (VALUES $vals),
+        docs AS (
+          SELECT doc_id, lower(text) AS t,
+                 CAST(length(lower(text)) - 1 AS BIGINT) AS n
+          FROM documents WHERE length(lower(text)) >= 2),
+        bg AS (
+          SELECT doc_id, n, substring(t, CAST(i AS INT), 2) AS bigram
+          FROM (SELECT doc_id, n, t, unnest(range(1, length(t))) AS i FROM docs) x),
+        hits AS (
+          SELECT b.doc_id, b.n, p.lang, COUNT(*) AS hits
+          FROM bg b JOIN prof p ON p.bigram = b.bigram
+          GROUP BY b.doc_id, b.n, p.lang),
+        scored AS (
+          SELECT d.doc_id, l.lang, COALESCE(h.hits, 0) AS hits,
+                 ROUND(COALESCE(h.hits, 0) / d.n, 6) AS score
+          FROM docs d
+          CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+          LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang)
+        SELECT doc_id, lang AS lang_guess, hits, score FROM (
+          SELECT doc_id, lang, hits, score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, lang ASC) AS rk
+          FROM scored) r WHERE rk = 1 ORDER BY doc_id"""
+      })
     ),
     Q(
       // Quality scoring: stopword ratio, type/token ratio, length stats.
