@@ -39,6 +39,17 @@ object KgQueries {
   private def detParsedShared(s: SparkSession, dir: String) =
     detParsed(s, dir).localCheckpoint()
 
+  /** Write-once det spans table as parquet (the north-rule Iceberg-shaped
+    * input: doc_id + array<struct<kind,text,media_ref,offset>>) — shared
+    * fixture for the K7 manager and streaming entries. v-tag: bump when
+    * the det generator changes. */
+  private def detSpansParquet(s: SparkSession, dir: String): String = {
+    val p = s"/tmp/graft-manager-dets-v1-${new java.io.File(dir).getName}"
+    if (!new java.io.File(p, "_SUCCESS").exists())
+      KgOracle.detDocs(s, dir).write.mode("overwrite").parquet(p)
+    p
+  }
+
   private def detAnalyzed(s: SparkSession, dir: String) =
     Pipeline.rewrite(detParsed(s, dir), Pipeline.analyzeCascade)
 
@@ -492,9 +503,7 @@ object KgQueries {
       // Reference: CoNLLRDFManager.java:150-201, examples/analyze-ud.json.
       "kg_manager_analyze",
       (s, dir) => {
-        val p = s"/tmp/graft-manager-dets-v1-${new java.io.File(dir).getName}"
-        if (!new java.io.File(p, "_SUCCESS").exists())
-          KgOracle.detDocs(s, dir).write.mode("overwrite").parquet(p)
+        val p = detSpansParquet(s, dir)
         val json = s"""{
           "input": {"parquet": "$p"},
           "pipeline": [
@@ -508,6 +517,40 @@ object KgQueries {
             {"class": "CoNLLRDFFormatter", "mode": "triples"}
           ]}"""
         PipelineManager.run(s, json)
+          .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.analyzeSql)
+    ),
+    Q(
+      // Structured Streaming driver-gated end-to-end (was unit-only): the
+      // det spans table is consumed as a STREAM (file source + schema),
+      // runs the identical narrow parse+analyze object pipeline inside a
+      // streaming query, and lands in an exactly-once parquet file sink
+      // (Trigger.AvailableNow + checkpoint); the materialized sink is
+      // read back and must hash-equal kg_pipeline_analyze — gating the
+      // streaming source, the lifted pipeline, sink transaction log and
+      // checkpoint plumbing under the same oracle. Checkpoint + sink are
+      // cleared per run so the query deterministically reprocesses the
+      // full input (the resume contract itself is covered by the r4
+      // checkpoint-resume gate).
+      "kg_stream_analyze",
+      (s, dir) => {
+        val in = detSpansParquet(s, dir)
+        val base = s"/tmp/graft-stream-analyze-${new java.io.File(dir).getName}"
+        val outP = s"$base/out"
+        val cp = s"$base/cp"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+        val q = graft.streaming.StreamingPipeline
+          .streamTriples(s, in, KgOracle.detCols, Pipeline.analyzeCascade)
+          .writeStream
+          .format("parquet")
+          .option("path", outP)
+          .option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outP)
           .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.analyzeSql)
