@@ -167,33 +167,38 @@ object KgOracle {
 
   val detDirtyCols: Seq[String] = Seq("ID", "WORD", "UPOS", "EDGE", "IGNORE")
 
+  /** Pure per-doc span generator (shared by detDirtyDocs and the seed
+    * sweep; the docId travels in-band via the comment lines). */
+  def dirtySpansFor(docId: String, words: Array[String]): Seq[Span] = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    def add(kind: String, t: String): Unit = {
+      spans += Span(kind, t, "", off); off += 1
+    }
+    words.iterator.zipWithIndex.foreach { case (w, idx) =>
+      val sent = idx / SENT_LEN + 1
+      val tid = idx % SENT_LEN + 1
+      if (tid == 1) {
+        if (idx > 0) add("markup", "<s>") // markup doubles as the break
+        add("comment", s"# doc $docId sent $sent")
+        add("comment", s"# w $w")
+      }
+      val upos = if (tid == 13) "O" else uposFromHex(md5hex(w).charAt(0))
+      val edge =
+        if (tid % 2 != 0) "_"
+        else if (tid == 8) "amod#inline comment to strip"
+        else "det"
+      add("token", s"$tid\t$w\t$upos\t$edge\tjunk$tid")
+      if (tid == 3) add("markup", "<note/>") // skipped, no triples
+    }
+    spans.toSeq
+  }
+
   def detDirtyDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
     docTexts(s, dir)
       .map { case (docId, text) =>
-        val words = text.split("\\s+")
-        val spans = scala.collection.mutable.ArrayBuffer[Span]()
-        var off = 0
-        def add(kind: String, t: String): Unit = {
-          spans += Span(kind, t, "", off); off += 1
-        }
-        words.iterator.zipWithIndex.foreach { case (w, idx) =>
-          val sent = idx / SENT_LEN + 1
-          val tid = idx % SENT_LEN + 1
-          if (tid == 1) {
-            if (idx > 0) add("markup", "<s>") // markup doubles as the break
-            add("comment", s"# doc $docId sent $sent")
-            add("comment", s"# w $w")
-          }
-          val upos = if (tid == 13) "O" else uposFromHex(md5hex(w).charAt(0))
-          val edge =
-            if (tid % 2 != 0) "_"
-            else if (tid == 8) "amod#inline comment to strip"
-            else "det"
-          add("token", s"$tid\t$w\t$upos\t$edge\tjunk$tid")
-          if (tid == 3) add("markup", "<note/>") // skipped, no triples
-        }
-        InputDoc(docId, spans.toSeq)
+        InputDoc(docId, dirtySpansFor(docId, text.split("\\s+")))
       }
   }
 
@@ -228,25 +233,30 @@ object KgOracle {
 
   val detSrlCols: Seq[String] = Seq("ID", "WORD", "PRED", "PRED-ARGs")
 
+  /** Pure per-doc span generator (shared by detSrlDocs and the seed
+    * sweep). */
+  def srlSpansFor(words: Array[String]): Seq[Span] = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    words.iterator.zipWithIndex.foreach { case (w, idx) =>
+      val tid = idx % SENT_LEN + 1
+      if (idx > 0 && tid == 1) {
+        spans += Span("sentence_break", "", "", off); off += 1
+      }
+      val pred = if (tid == 4 || tid == 10) "y" else "_"
+      val a1 = tid match { case 2 => "A0"; case 6 => "A1"; case _ => "_" }
+      val a2 = tid match { case 8 => "A0"; case 12 => "A2"; case _ => "_" }
+      spans += Span("token", s"$tid\t$w\t$pred\t$a1\t$a2", "", off)
+      off += 1
+    }
+    spans.toSeq
+  }
+
   def detSrlDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
     docTexts(s, dir)
       .map { case (docId, text) =>
-        val words = text.split("\\s+")
-        val spans = scala.collection.mutable.ArrayBuffer[Span]()
-        var off = 0
-        words.iterator.zipWithIndex.foreach { case (w, idx) =>
-          val tid = idx % SENT_LEN + 1
-          if (idx > 0 && tid == 1) {
-            spans += Span("sentence_break", "", "", off); off += 1
-          }
-          val pred = if (tid == 4 || tid == 10) "y" else "_"
-          val a1 = tid match { case 2 => "A0"; case 6 => "A1"; case _ => "_" }
-          val a2 = tid match { case 8 => "A0"; case 12 => "A2"; case _ => "_" }
-          spans += Span("token", s"$tid\t$w\t$pred\t$a1\t$a2", "", off)
-          off += 1
-        }
-        InputDoc(docId, spans.toSeq)
+        InputDoc(docId, srlSpansFor(text.split("\\s+")))
       }
   }
 

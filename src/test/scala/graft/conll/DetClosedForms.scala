@@ -83,6 +83,70 @@ object DetClosedForms {
     base ++ tree
   }
 
+  /** SRL path (KgOracle.srlSql's closed form): 15-token sentences with
+    * predicates at tid 4/10, role cells at tid 2/6 (→ pred 4) and 8/12
+    * (→ pred 10); trailing partial sentences KEPT — a role whose
+    * predicate ROW is missing drops, its subPropertyOf axiom stays (the
+    * cell exists). ws is the sentence's token list (length ≤ 15). */
+  def srlTriples(n: Int, ws: Seq[String]): Set[Triple] = {
+    val ntok = ws.length
+    val out = scala.collection.mutable.Set[Triple]()
+    val sent = s":s${n}_0"
+    out += Triple(sent, "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", sent, oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ntok) out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:ID", tid.toString, oUri = false)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:HEAD", sent, oUri = true)
+      if (tid == 4 || tid == 10) out += Triple(uri, "conll:PRED", "y", oUri = false)
+    }
+    if (ntok >= 4) {
+      if (ntok >= 2) out += Triple(s":s${n}_4", "conll:A0", s":s${n}_2", oUri = true)
+      if (ntok >= 6) out += Triple(s":s${n}_4", "conll:A1", s":s${n}_6", oUri = true)
+    }
+    if (ntok >= 10) {
+      if (ntok >= 8) out += Triple(s":s${n}_10", "conll:A0", s":s${n}_8", oUri = true)
+      if (ntok >= 12) out += Triple(s":s${n}_10", "conll:A2", s":s${n}_12", oUri = true)
+    }
+    if (ntok >= 2) out += Triple("conll:A0", "rdfs:subPropertyOf", "conll:PRED-ARG", oUri = true)
+    if (ntok >= 6) out += Triple("conll:A1", "rdfs:subPropertyOf", "conll:PRED-ARG", oUri = true)
+    if (ntok >= 12) out += Triple("conll:A2", "rdfs:subPropertyOf", "conll:PRED-ARG", oUri = true)
+    out.toSet
+  }
+
+  /** Dirty-TSV path AFTER remove-IGNORE (KgOracle.dirtySql's closed
+    * form): `<s>` markup as break, two '#' comments joined by '\n' onto
+    * the sentence node, skipped `<note/>`, '_' empty EDGE on odd tids,
+    * 'O' empty UPOS at tid 13, inline '#' comment stripped at tid 8, and
+    * NO residue of the IGNORE column. */
+  def dirtyTriples(docId: String, n: Int, ws: Seq[String]): Set[Triple] = {
+    val ntok = ws.length
+    val out = scala.collection.mutable.Set[Triple]()
+    val sent = s":s${n}_0"
+    out += Triple(sent, "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", sent, oUri = true)
+    out += Triple(sent, "rdfs:comment", s"doc $docId sent $n\nw ${ws.head}", oUri = false)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ntok) out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:ID", tid.toString, oUri = false)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      if (tid != 13)
+        out += Triple(uri, "conll:UPOS",
+          KgOracle.uposFromHex(KgOracle.md5hex(w).charAt(0)), oUri = false)
+      if (tid % 2 == 0)
+        out += Triple(uri, "conll:EDGE", if (tid == 8) "amod" else "det", oUri = false)
+      out += Triple(uri, "conll:HEAD", sent, oUri = true)
+    }
+    out.toSet
+  }
+
   /** Segment-splitter path (KgOracle.segmentsSql's closed form): 4-token
     * single-WORD sentences; the '#newsegment' comment the splitter
     * synthesizes surfaces as rdfs:comment on the FOLLOWING sentence —

@@ -90,6 +90,41 @@ class DetSeedSweepSpec extends AnyFunSuite {
     }
   }
 
+  for (seed <- seeds) test(s"seed $seed: SRL ARGs corpus == closed form incl. dangling-arg guard") {
+    val rnd = new scala.util.Random(seed * 13 + 3)
+    // random length deliberately NOT sentence-aligned: trailing partial
+    // sentences are kept, exercising the predicate-row-missing guard at
+    // every possible cut point
+    val words = randomWords(rnd, 1 + rnd.nextInt(3 * KgOracle.SENT_LEN + 5))
+    val sents = SpanParser.parseDoc(
+      InputDoc("d1", KgOracle.srlSpansFor(words)), KgOracle.detSrlCols)
+    val nSents = (words.length + KgOracle.SENT_LEN - 1) / KgOracle.SENT_LEN
+    assert(sents.length == nSents)
+    for ((s, si) <- sents.zipWithIndex) {
+      val ws = words.slice(si * KgOracle.SENT_LEN,
+        math.min((si + 1) * KgOracle.SENT_LEN, words.length)).toSeq
+      diff(s.triples.toSet, DetClosedForms.srlTriples(si + 1, ws),
+        s"seed=$seed sent=${si + 1} ntok=${ws.length}")
+    }
+  }
+
+  for (seed <- seeds) test(s"seed $seed: dirty-TSV corpus == closed form after remove-IGNORE") {
+    val rnd = new scala.util.Random(seed * 19 + 11)
+    val words = randomWords(rnd, 1 + rnd.nextInt(3 * KgOracle.SENT_LEN + 5))
+    val sents = SpanParser.parseDoc(
+      InputDoc("d1", KgOracle.dirtySpansFor("d1", words)), KgOracle.detDirtyCols)
+    val nSents = (words.length + KgOracle.SENT_LEN - 1) / KgOracle.SENT_LEN
+    assert(sents.length == nSents)
+    for ((s, si) <- sents.zipWithIndex) {
+      val g = SentGraph(s)
+      AnalyzeScripts.removeIgnore.run(g, 1)
+      val ws = words.slice(si * KgOracle.SENT_LEN,
+        math.min((si + 1) * KgOracle.SENT_LEN, words.length)).toSeq
+      diff(g.all.toSet, DetClosedForms.dirtyTriples("d1", si + 1, ws),
+        s"seed=$seed sent=${si + 1} ntok=${ws.length}")
+    }
+  }
+
   for (seed <- seeds) test(s"seed $seed: segment corpus == closed form through the splitter") {
     val rnd = new scala.util.Random(seed * 17 + 5)
     val words = randomWords(rnd, rnd.nextInt(11 * KgOracle.SEG_LEN + 3))
