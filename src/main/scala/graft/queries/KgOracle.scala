@@ -297,29 +297,34 @@ object KgOracle {
     * (only complete SENT_LEN-token sentences are emitted) so the spliced
     * chain has a single closed form — mirrored by the ntok guard in the
     * SQL. */
+  /** Pure per-doc span generator (shared by detXmlGlueDocs, the glue
+    * det spec and the seed sweep). */
+  def xmlGlueSpansFor(docId: String, words: Array[String]): Seq[Span] = {
+    val nSents = words.length / SENT_LEN
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    def add(kind: String, t: String): Unit = {
+      spans += Span(kind, t, "", off); off += 1
+    }
+    add("markup", s"""<doc id="$docId">""")
+    for (k <- 0 until nSents) {
+      add("markup", "<s>")
+      for (t <- 0 until SENT_LEN) {
+        val w = words(k * SENT_LEN + t)
+        add("token", s"$w\t${uposFromHex(md5hex(w).charAt(0))}")
+        if (t + 1 == GLUE_AT) add("markup", "<g/>")
+      }
+      add("markup", "</s>")
+    }
+    add("markup", "</doc>")
+    spans.toSeq
+  }
+
   def detXmlGlueDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
     docTexts(s, dir)
       .map { case (docId, text) =>
-        val words = text.split("\\s+")
-        val nSents = words.length / SENT_LEN
-        val spans = scala.collection.mutable.ArrayBuffer[Span]()
-        var off = 0
-        def add(kind: String, t: String): Unit = {
-          spans += Span(kind, t, "", off); off += 1
-        }
-        add("markup", s"""<doc id="$docId">""")
-        for (k <- 0 until nSents) {
-          add("markup", "<s>")
-          for (t <- 0 until SENT_LEN) {
-            val w = words(k * SENT_LEN + t)
-            add("token", s"$w\t${uposFromHex(md5hex(w).charAt(0))}")
-            if (t + 1 == GLUE_AT) add("markup", "<g/>")
-          }
-          add("markup", "</s>")
-        }
-        add("markup", "</doc>")
-        InputDoc(docId, spans.toSeq)
+        InputDoc(docId, xmlGlueSpansFor(docId, text.split("\\s+")))
       }
   }
 

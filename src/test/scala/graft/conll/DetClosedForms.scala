@@ -147,6 +147,57 @@ object DetClosedForms {
     out.toSet
   }
 
+  /** XML glue path AFTER emptyNode2Word (KgOracle.xmltsvEmptySql's
+    * closed form — trace in XmlGlueDetSpec): document-global powla
+    * counter (doc=:x1, s_n=:x{2n}, g_n=:x{2n+1}), the `<g/>` node's
+    * materialized empty nif:Word spliced into the nextWord chain at
+    * GLUE_AT with its HEAD defaulted to the sentence node. */
+  def glueTriples(docId: String, n: Int, ws: Seq[String]): Set[Triple] = {
+    val out = scala.collection.mutable.Set[Triple]()
+    val sN = s":s${n}_0"
+    val sNode = s":x${2 * n}"
+    val gNode = s":x${2 * n + 1}"
+    val gWord = s"${gNode}_word"
+    out += Triple(sN, "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", sN, oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:UPOS",
+        KgOracle.uposFromHex(KgOracle.md5hex(w).charAt(0)), oUri = false)
+      out += Triple(uri, "conll:HEAD", sN, oUri = true)
+      out += Triple(uri, "powla:hasParent", sNode, oUri = true)
+      if (tid < ws.length) {
+        val nxt = s":s${n}_${tid + 1}"
+        out += Triple(uri, "nif:nextWord",
+          if (tid == KgOracle.GLUE_AT) gWord else nxt, oUri = true)
+        out += Triple(uri, "powla:next",
+          if (tid == KgOracle.GLUE_AT) gNode else nxt, oUri = true)
+      }
+    }
+    out += Triple(gWord, "nif:nextWord", s":s${n}_${KgOracle.GLUE_AT + 1}", oUri = true)
+    out += Triple(gNode, "powla:next", s":s${n}_${KgOracle.GLUE_AT + 1}", oUri = true)
+    out += Triple(":x1", "rdf:type", "powla:Node", oUri = true)
+    out += Triple(":x1", "rdf:type", "conll:XML_DATA", oUri = true)
+    out += Triple(":x1", "rdf:value", "doc", oUri = false)
+    out += Triple(":x1", "x:id", docId, oUri = false)
+    out += Triple(sNode, "rdf:type", "powla:Node", oUri = true)
+    out += Triple(sNode, "rdf:type", "conll:XML_DATA", oUri = true)
+    out += Triple(sNode, "rdf:value", "s", oUri = false)
+    out += Triple(sNode, "powla:hasParent", ":x1", oUri = true)
+    out += Triple(gNode, "rdf:type", "powla:Node", oUri = true)
+    out += Triple(gNode, "rdf:type", "conll:XML_DATA", oUri = true)
+    out += Triple(gNode, "rdf:value", "g", oUri = false)
+    out += Triple(gNode, "powla:hasParent", sNode, oUri = true)
+    out += Triple(gWord, "rdf:type", "nif:Word", oUri = true)
+    out += Triple(gWord, "conll:WORD", "", oUri = false)
+    out += Triple(gWord, "powla:hasParent", gNode, oUri = true)
+    out += Triple(gWord, "conll:HEAD", sN, oUri = true)
+    out.toSet
+  }
+
   /** Segment-splitter path (KgOracle.segmentsSql's closed form): 4-token
     * single-WORD sentences; the '#newsegment' comment the splitter
     * synthesizes surfaces as rdfs:comment on the FOLLOWING sentence —

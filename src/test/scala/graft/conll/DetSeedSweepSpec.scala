@@ -125,6 +125,23 @@ class DetSeedSweepSpec extends AnyFunSuite {
     }
   }
 
+  for (seed <- seeds) test(s"seed $seed: XML glue corpus == closed form through emptyNode2Word") {
+    val rnd = new scala.util.Random(seed * 23 + 7)
+    // random length; trailing partial sentences are dropped by the
+    // generator (words.length / SENT_LEN complete sentences)
+    val words = randomWords(rnd, rnd.nextInt(4 * KgOracle.SENT_LEN + 9))
+    val sents = XmlTsvParser.parseDoc(
+      InputDoc("dx", KgOracle.xmlGlueSpansFor("dx", words)), KgOracle.detXmlCols)
+    assert(sents.length == words.length / KgOracle.SENT_LEN)
+    for ((s, si) <- sents.zipWithIndex) {
+      val g = SentGraph(s)
+      TreesScripts.emptyNode2Word.run(g, 1)
+      val ws = words.slice(si * KgOracle.SENT_LEN, (si + 1) * KgOracle.SENT_LEN).toSeq
+      diff(g.all.toSet, DetClosedForms.glueTriples("dx", si + 1, ws),
+        s"seed=$seed sent=${si + 1}")
+    }
+  }
+
   for (seed <- seeds) test(s"seed $seed: segment corpus == closed form through the splitter") {
     val rnd = new scala.util.Random(seed * 17 + 5)
     val words = randomWords(rnd, rnd.nextInt(11 * KgOracle.SEG_LEN + 3))
