@@ -82,26 +82,31 @@ object KgOracle {
   /** documents.parquet → deterministic multi-sentence CoNLL-U span docs.
     * Narrow (one typed map over the scan); the doc_id is stringified to the
     * span-table contract. */
+  /** Pure per-doc span generator (shared by detDocs and the seed
+    * sweep). */
+  def detSpansFor(words: Array[String]): Seq[Span] = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    words.iterator.zipWithIndex.foreach { case (w, idx) =>
+      val tid = idx % SENT_LEN + 1
+      if (idx > 0 && tid == 1) {
+        spans += Span("sentence_break", "", "", off); off += 1
+      }
+      val h = md5hex(w)
+      val upos = uposFromHex(h.charAt(0))
+      val head = if (tid == 1) 0 else tid / 2
+      val edge = if (tid == 1) "root" else edgeFromHex(h.charAt(1))
+      spans += Span("token", s"$tid\t$w\t$upos\t$head\t$edge", "", off)
+      off += 1
+    }
+    spans.toSeq
+  }
+
   def detDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
     docTexts(s, dir)
       .map { case (docId, text) =>
-        val words = text.split("\\s+")
-        val spans = scala.collection.mutable.ArrayBuffer[Span]()
-        var off = 0
-        words.iterator.zipWithIndex.foreach { case (w, idx) =>
-          val tid = idx % SENT_LEN + 1
-          if (idx > 0 && tid == 1) {
-            spans += Span("sentence_break", "", "", off); off += 1
-          }
-          val h = md5hex(w)
-          val upos = uposFromHex(h.charAt(0))
-          val head = if (tid == 1) 0 else tid / 2
-          val edge = if (tid == 1) "root" else edgeFromHex(h.charAt(1))
-          spans += Span("token", s"$tid\t$w\t$upos\t$head\t$edge", "", off)
-          off += 1
-        }
-        InputDoc(docId, spans.toSeq)
+        InputDoc(docId, detSpansFor(text.split("\\s+")))
       }
   }
 

@@ -72,7 +72,8 @@ object ScaleSweep {
     "q22_lsh_jaccard", "q34_dup_clusters", "q43_lsh_r2", "q42_cc_chain",
     "q30_tree_depth", "q31_ann_ivf", "q32_embed_neardup",
     "kg_pipeline_parse", "kg_pipeline_link", "kg_entity_canonical",
-    "kg_eval_possynt", "kg_brackets_spanuri", "kg_tenten")
+    "kg_eval_possynt", "kg_brackets_spanuri", "kg_tenten",
+    "q44_langid_bigram", "kg_file_ingest", "kg_stream_analyze")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/scale_sweep.json"

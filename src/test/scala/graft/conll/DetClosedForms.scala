@@ -83,6 +83,33 @@ object DetClosedForms {
     base ++ tree
   }
 
+  /** Plain det-corpus parse (the base token table every analyze-family
+    * oracle builds on): ID/WORD/UPOS/HEAD/EDGE with the deterministic
+    * md5-derived attributes and the tid/2 tree; trailing partial
+    * sentences kept. */
+  def detTriples(n: Int, ws: Seq[String]): Set[Triple] = {
+    val ntok = ws.length
+    val out = scala.collection.mutable.Set[Triple]()
+    val sent = s":s${n}_0"
+    out += Triple(sent, "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", sent, oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      val h = KgOracle.md5hex(w)
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ntok) out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:ID", tid.toString, oUri = false)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:UPOS", KgOracle.uposFromHex(h.charAt(0)), oUri = false)
+      out += Triple(uri, "conll:HEAD",
+        s":s${n}_${if (tid == 1) 0 else tid / 2}", oUri = true)
+      out += Triple(uri, "conll:EDGE",
+        if (tid == 1) "root" else KgOracle.edgeFromHex(h.charAt(1)), oUri = false)
+    }
+    out.toSet
+  }
+
   /** SRL path (KgOracle.srlSql's closed form): 15-token sentences with
     * predicates at tid 4/10, role cells at tid 2/6 (→ pred 4) and 8/12
     * (→ pred 10); trailing partial sentences KEPT — a role whose

@@ -90,6 +90,21 @@ class DetSeedSweepSpec extends AnyFunSuite {
     }
   }
 
+  for (seed <- seeds) test(s"seed $seed: base det corpus == closed form (S1/S2 numeric HEADs)") {
+    val rnd = new scala.util.Random(seed * 29 + 2)
+    val words = randomWords(rnd, 1 + rnd.nextInt(3 * KgOracle.SENT_LEN + 5))
+    val sents = SpanParser.parseDoc(
+      InputDoc("d1", KgOracle.detSpansFor(words)), KgOracle.detCols)
+    val nSents = (words.length + KgOracle.SENT_LEN - 1) / KgOracle.SENT_LEN
+    assert(sents.length == nSents)
+    for ((s, si) <- sents.zipWithIndex) {
+      val ws = words.slice(si * KgOracle.SENT_LEN,
+        math.min((si + 1) * KgOracle.SENT_LEN, words.length)).toSeq
+      diff(s.triples.toSet, DetClosedForms.detTriples(si + 1, ws),
+        s"seed=$seed sent=${si + 1} ntok=${ws.length}")
+    }
+  }
+
   for (seed <- seeds) test(s"seed $seed: SRL ARGs corpus == closed form incl. dangling-arg guard") {
     val rnd = new scala.util.Random(seed * 13 + 3)
     // random length deliberately NOT sentence-aligned: trailing partial
