@@ -225,6 +225,52 @@ object DetClosedForms {
     out.toSet
   }
 
+  /** TenTen path (KgOracle.tentenSql's closed form): 3-token 9-column
+    * sentences extracted from escaped vertical data tags; powla nodes on
+    * a document-global counter (doc=:x1, sentence 1's <s>=:x2, the
+    * REPAIRED childless <note>=:x3, sentence i>1's <s>=:x{i+2}); in
+    * sentence 1 the note is spliced into the sibling chain between
+    * tokens 1 and 2. */
+  def tentenTriples(n: Int, ws: Seq[String]): Set[Triple] = {
+    val out = scala.collection.mutable.Set[Triple]()
+    val sent = s":s${n}_0"
+    val sX = if (n == 1) ":x2" else s":x${n + 2}"
+    out += Triple(sent, "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", sent, oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < KgOracle.TT_LEN)
+        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:POS",
+        KgOracle.uposFromHex(KgOracle.md5hex(w).charAt(0)), oUri = false)
+      for (k <- 1 to 7) out += Triple(uri, s"conll:F$k", "x", oUri = false)
+      out += Triple(uri, "conll:HEAD", sent, oUri = true)
+      out += Triple(uri, "powla:hasParent", sX, oUri = true)
+      if (n > 1 && tid < KgOracle.TT_LEN)
+        out += Triple(uri, "powla:next", s":s${n}_${tid + 1}", oUri = true)
+    }
+    out += Triple(":x1", "rdf:type", "powla:Node", oUri = true)
+    out += Triple(":x1", "rdf:type", "conll:XML_DATA", oUri = true)
+    out += Triple(":x1", "rdf:value", "doc", oUri = false)
+    out += Triple(sX, "powla:hasParent", ":x1", oUri = true)
+    out += Triple(sX, "rdf:type", "powla:Node", oUri = true)
+    out += Triple(sX, "rdf:type", "conll:XML_DATA", oUri = true)
+    out += Triple(sX, "rdf:value", "s", oUri = false)
+    if (n == 1) {
+      out += Triple(":x3", "powla:hasParent", ":x2", oUri = true)
+      out += Triple(":x3", "rdf:type", "powla:Node", oUri = true)
+      out += Triple(":x3", "rdf:type", "conll:XML_DATA", oUri = true)
+      out += Triple(":x3", "rdf:value", "note", oUri = false)
+      out += Triple(":s1_1", "powla:next", ":x3", oUri = true)
+      out += Triple(":x3", "powla:next", ":s1_2", oUri = true)
+      out += Triple(":s1_2", "powla:next", ":s1_3", oUri = true)
+    }
+    out.toSet
+  }
+
   /** Segment-splitter path (KgOracle.segmentsSql's closed form): 4-token
     * single-WORD sentences; the '#newsegment' comment the splitter
     * synthesizes surfaces as rdfs:comment on the FOLLOWING sentence —

@@ -157,6 +157,26 @@ class DetSeedSweepSpec extends AnyFunSuite {
     }
   }
 
+  for (seed <- seeds) test(s"seed $seed: TenTen corpus == closed form through the repair path") {
+    val rnd = new scala.util.Random(seed * 37 + 17)
+    // random length; tenLinesFor keeps only complete 3-token sentences
+    val words = randomWords(rnd, rnd.nextInt(12 * KgOracle.TT_LEN + 5))
+    val lines = KgOracle.tenLinesFor(words)
+    val nSents = words.length / KgOracle.TT_LEN
+    if (nSents == 0) assert(lines.isEmpty)
+    else {
+      val doc = InputDoc("d1",
+        TenTen.toSpans(TenTen.convert(lines, repair = true)))
+      val sents = XmlTsvParser.parseDoc(doc, KgOracle.detTenCols)
+      assert(sents.length == nSents)
+      for ((s, si) <- sents.zipWithIndex) {
+        val ws = words.slice(si * KgOracle.TT_LEN, (si + 1) * KgOracle.TT_LEN).toSeq
+        diff(s.triples.toSet, DetClosedForms.tentenTriples(si + 1, ws),
+          s"seed=$seed sent=${si + 1}")
+      }
+    }
+  }
+
   for (seed <- seeds) test(s"seed $seed: segment corpus == closed form through the splitter") {
     val rnd = new scala.util.Random(seed * 17 + 5)
     val words = randomWords(rnd, rnd.nextInt(11 * KgOracle.SEG_LEN + 3))
