@@ -131,28 +131,33 @@ object KgOracle {
     * flush-and-reassert path (still-open `<doc>` re-asserted into every
     * following sentence, document-global xmlId counter) is exercised and
     * oracle-checked. */
+  /** Pure per-doc span generator (shared by detXmlDocs and the seed
+    * sweep). */
+  def xmlSpansFor(docId: String, words: Array[String]): Seq[Span] = {
+    val spans = scala.collection.mutable.ArrayBuffer[Span]()
+    var off = 0
+    def add(kind: String, t: String): Unit = {
+      spans += Span(kind, t, "", off); off += 1
+    }
+    add("markup", s"""<doc id="$docId">""")
+    words.iterator.zipWithIndex.foreach { case (w, idx) =>
+      val tid = idx % SENT_LEN + 1
+      if (tid == 1) {
+        if (idx > 0) add("markup", "</s>")
+        add("markup", "<s>")
+      }
+      add("token", s"$w\t${uposFromHex(md5hex(w).charAt(0))}")
+    }
+    add("markup", "</s>")
+    add("markup", "</doc>")
+    spans.toSeq
+  }
+
   def detXmlDocs(s: SparkSession, dir: String): Dataset[InputDoc] = {
     import s.implicits._
     docTexts(s, dir)
       .map { case (docId, text) =>
-        val words = text.split("\\s+")
-        val spans = scala.collection.mutable.ArrayBuffer[Span]()
-        var off = 0
-        def add(kind: String, t: String): Unit = {
-          spans += Span(kind, t, "", off); off += 1
-        }
-        add("markup", s"""<doc id="$docId">""")
-        words.iterator.zipWithIndex.foreach { case (w, idx) =>
-          val tid = idx % SENT_LEN + 1
-          if (tid == 1) {
-            if (idx > 0) add("markup", "</s>")
-            add("markup", "<s>")
-          }
-          add("token", s"$w\t${uposFromHex(md5hex(w).charAt(0))}")
-        }
-        add("markup", "</s>")
-        add("markup", "</doc>")
-        InputDoc(docId, spans.toSeq)
+        InputDoc(docId, xmlSpansFor(docId, text.split("\\s+")))
       }
   }
 

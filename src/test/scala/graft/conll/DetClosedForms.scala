@@ -225,6 +225,43 @@ object DetClosedForms {
     out.toSet
   }
 
+  /** Plain XML-TSV path AFTER xAttributes2value (KgOracle.xmltsvSql's
+    * closed form): re-asserted `:x1` doc node (rdf:value folded to
+    * `doc id="D"`, x:id kept), `:x{n+1}` s-node on the document-global
+    * counter, token hasParent/next chains; trailing partial sentences
+    * KEPT. */
+  def xmltsvTriples(docId: String, n: Int, ws: Seq[String]): Set[Triple] = {
+    val ntok = ws.length
+    val out = scala.collection.mutable.Set[Triple]()
+    val sent = s":s${n}_0"
+    val sNode = s":x${n + 1}"
+    out += Triple(sent, "rdf:type", "nif:Sentence", oUri = true)
+    if (n > 1) out += Triple(s":s${n - 1}_0", "nif:nextSentence", sent, oUri = true)
+    for ((w, idx) <- ws.zipWithIndex) {
+      val tid = idx + 1
+      val uri = s":s${n}_$tid"
+      out += Triple(uri, "rdf:type", "nif:Word", oUri = true)
+      if (tid < ntok) {
+        out += Triple(uri, "nif:nextWord", s":s${n}_${tid + 1}", oUri = true)
+        out += Triple(uri, "powla:next", s":s${n}_${tid + 1}", oUri = true)
+      }
+      out += Triple(uri, "conll:WORD", w, oUri = false)
+      out += Triple(uri, "conll:UPOS",
+        KgOracle.uposFromHex(KgOracle.md5hex(w).charAt(0)), oUri = false)
+      out += Triple(uri, "conll:HEAD", sent, oUri = true)
+      out += Triple(uri, "powla:hasParent", sNode, oUri = true)
+    }
+    out += Triple(":x1", "rdf:type", "powla:Node", oUri = true)
+    out += Triple(":x1", "rdf:type", "conll:XML_DATA", oUri = true)
+    out += Triple(":x1", "rdf:value", s"""doc id="$docId"""", oUri = false)
+    out += Triple(":x1", "x:id", docId, oUri = false)
+    out += Triple(sNode, "rdf:type", "powla:Node", oUri = true)
+    out += Triple(sNode, "rdf:type", "conll:XML_DATA", oUri = true)
+    out += Triple(sNode, "rdf:value", "s", oUri = false)
+    out += Triple(sNode, "powla:hasParent", ":x1", oUri = true)
+    out.toSet
+  }
+
   /** TenTen path (KgOracle.tentenSql's closed form): 3-token 9-column
     * sentences extracted from escaped vertical data tags; powla nodes on
     * a document-global counter (doc=:x1, sentence 1's <s>=:x2, the

@@ -157,6 +157,47 @@ class DetSeedSweepSpec extends AnyFunSuite {
     }
   }
 
+  for (seed <- seeds) test(s"seed $seed: plain XML-TSV corpus == closed form through xAttributes2value") {
+    val rnd = new scala.util.Random(seed * 41 + 19)
+    val words = randomWords(rnd, 1 + rnd.nextInt(3 * KgOracle.SENT_LEN + 5))
+    val sents = XmlTsvParser.parseDoc(
+      InputDoc("dz", KgOracle.xmlSpansFor("dz", words)), KgOracle.detXmlCols)
+    val nSents = (words.length + KgOracle.SENT_LEN - 1) / KgOracle.SENT_LEN
+    assert(sents.length == nSents)
+    for ((s, si) <- sents.zipWithIndex) {
+      val g = SentGraph(s)
+      TreesScripts.xAttributes2value.run(g, 1)
+      val ws = words.slice(si * KgOracle.SENT_LEN,
+        math.min((si + 1) * KgOracle.SENT_LEN, words.length)).toSeq
+      diff(g.all.toSet, DetClosedForms.xmltsvTriples("dz", si + 1, ws),
+        s"seed=$seed sent=${si + 1} ntok=${ws.length}")
+    }
+  }
+
+  for (seed <- seeds) test(s"seed $seed: CoNLL-U-plus in-band schema beats wrong CLI columns") {
+    val rnd = new scala.util.Random(seed * 43 + 29)
+    val words = randomWords(rnd, 1 + rnd.nextInt(3 * KgOracle.SENT_LEN + 5))
+    // the detPlusDocs shape: a # global.columns comment leads the doc,
+    // and the parse is called with a deliberately WRONG column list —
+    // the in-band schema must win (S5), leaving the base det triples
+    // plus the comment surfacing as rdfs:comment on sentence 1
+    val spans = Span("comment",
+      s"# global.columns = ${KgOracle.detCols.mkString(" ")}", "", 0) +:
+      KgOracle.detSpansFor(words).map(sp => sp.copy(offset = sp.offset + 1))
+    val sents = SpanParser.parseDoc(InputDoc("d1", spans), Seq("IGNORE"))
+    val nSents = (words.length + KgOracle.SENT_LEN - 1) / KgOracle.SENT_LEN
+    assert(sents.length == nSents)
+    for ((s, si) <- sents.zipWithIndex) {
+      val ws = words.slice(si * KgOracle.SENT_LEN,
+        math.min((si + 1) * KgOracle.SENT_LEN, words.length)).toSeq
+      val exp = DetClosedForms.detTriples(si + 1, ws) ++
+        (if (si == 0) Set(Triple(":s1_0", "rdfs:comment",
+          s"global.columns = ${KgOracle.detCols.mkString(" ")}", oUri = false))
+         else Set.empty[Triple])
+      diff(s.triples.toSet, exp, s"seed=$seed sent=${si + 1} ntok=${ws.length}")
+    }
+  }
+
   for (seed <- seeds) test(s"seed $seed: TenTen corpus == closed form through the repair path") {
     val rnd = new scala.util.Random(seed * 37 + 17)
     // random length; tenLinesFor keeps only complete 3-token sentences
