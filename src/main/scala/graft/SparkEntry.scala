@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Q, Relational, TextQueries, DedupQueries, AnnQueries, KgQueries, GraphQueries, MmQueries, CurationQueries}
+import graft.queries.{Q, Relational, TextQueries, DedupQueries, AnnQueries, KgQueries, GraphQueries, MmQueries, CurationQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     Relational.all ++ TextQueries.all ++ DedupQueries.all ++ AnnQueries.all ++
-      GraphQueries.all ++ KgQueries.all ++ MmQueries.all ++ CurationQueries.all
+      GraphQueries.all ++ KgQueries.all ++ MmQueries.all ++ CurationQueries.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full KG-construction pipeline (spans → parse → analyze cascade →
