@@ -1,12 +1,63 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.conll.Pipeline
+import graft.streaming.StreamingPipeline
 
 /** Structured-Streaming registry entries (driver-gated; the stream==batch
   * unit suites live in MultimodalStreamingSpec). */
 object StreamQueries {
 
   val all: Seq[Q] = Seq(
+    Q(
+      // Stateful cross-batch document ASSEMBLY end-to-end (the
+      // flatMapGroupsWithState regime): the det corpus is exploded into
+      // per-span fragment rows closed by a doc_end marker, streamed
+      // through the file source, re-assembled per doc_id in keyed state
+      // (fragments may arrive across micro-batches; assembly sorts by
+      // offset, so arrival order is free), then parsed and analyzed
+      // INSIDE the same streaming query and landed exactly-once. The
+      // result must hash-equal kg_pipeline_analyze — keyed state,
+      // append-mode emission on doc_end, and the downstream lifted
+      // pipeline all under the batch oracle.
+      "kg_stream_assemble",
+      (s, dir) => {
+        import s.implicits._
+        val base = s"/tmp/graft-stream-frags-v1-${new java.io.File(dir).getName}"
+        val in = s"$base/in"
+        if (!new java.io.File(in, "_SUCCESS").exists())
+          KgOracle.detDocs(s, dir).flatMap { d =>
+            d.spans.map(sp =>
+              StreamingPipeline.SpanFrag(d.doc_id, sp.kind, sp.text, sp.media_ref, sp.offset)) :+
+              StreamingPipeline.SpanFrag(d.doc_id, "doc_end", "", "",
+                d.spans.map(_.offset).maxOption.getOrElse(0) + 1)
+          }.write.mode("overwrite").parquet(in)
+        val outP = s"$base/out"
+        val cp = s"$base/cp"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outP))
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
+        val schema = implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.SpanFrag]].schema
+        val frags = s.readStream.schema(schema).parquet(in)
+          .as[StreamingPipeline.SpanFrag]
+        // NoTimeout: the fixture satisfies the fragments-before-doc_end
+        // contract (a production ingest sets a positive timeout)
+        val docs = StreamingPipeline.assembleDocs(frags, timeoutMs = 0L)
+        val q = Pipeline.rewriteTriples(
+            Pipeline.parse(docs, KgOracle.detCols), Pipeline.analyzeCascade)
+          .toDF()
+          .writeStream
+          .format("parquet")
+          .option("path", outP)
+          .option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(outP)
+          .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.analyzeSql)
+    ),
     Q(
       // Watermarked event-time windowed aggregation end-to-end (the
       // brief's "watermarks + windowed aggs", unit-only before): the
