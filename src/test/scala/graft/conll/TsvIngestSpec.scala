@@ -35,4 +35,61 @@ class TsvIngestSpec extends AnyFunSuite {
     // the known corpus shape: ~2k sentences
     assert(viaSpark.length == 2002)
   }
+
+  test("docIdOf strips CoNLL-family extensions and compression suffixes") {
+    assert(TsvIngest.docIdOf("/a/b/file.conllu.gz") == "file")
+    assert(TsvIngest.docIdOf("/a/b/file.conllu") == "file")
+    assert(TsvIngest.docIdOf("/a/b/file.conll") == "file")
+    assert(TsvIngest.docIdOf("file.tsv.gz") == "file")
+    assert(TsvIngest.docIdOf("plain.gz") == "plain")
+    assert(TsvIngest.docIdOf("noext") == "noext")
+    // unknown extensions stay (only the compression suffix strips)
+    assert(TsvIngest.docIdOf("/x/y/data.txt.gz") == "data.txt")
+    // dots inside the stem survive
+    assert(TsvIngest.docIdOf("v1.2-corpus.conllu.gz") == "v1.2-corpus")
+  }
+
+  test("round-trip: random docs → per-doc gz files → readFiles == original lines") {
+    val spark = graft.TestSpark.spark
+    val rnd = new scala.util.Random(99)
+    val outDir = new java.io.File("/tmp/graft-tsvingest-prop")
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    outDir.mkdirs()
+    val docs = (1 to 7).map { i =>
+      val lines = (0 until rnd.nextInt(40)).map { _ =>
+        rnd.nextInt(4) match {
+          case 0 => "" // sentence break
+          case 1 => s"# comment ${rnd.nextInt(100)}"
+          case 2 => s"<markup x='${rnd.nextInt(10)}'>"
+          case _ => s"${rnd.nextInt(9) + 1}\tw${rnd.nextInt(1000)}\tX"
+        }
+      }
+      (s"doc$i", lines.mkString("\n"))
+    }
+    for ((id, text) <- docs) {
+      val os = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(new java.io.File(outDir, s"$id.conllu.gz")))
+      try os.write(text.getBytes("UTF-8")) finally os.close()
+    }
+    val got = TsvIngest.readFiles(spark, s"$outDir/*.conllu.gz")
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(got.keySet == docs.map(_._1).toSet)
+    for ((id, text) <- docs)
+      assert(got(id).spans == TsvIngest.toSpans(text), s"doc $id")
+  }
+
+  test("non-UTF-8 input files fail loudly at the byte layer") {
+    val spark = graft.TestSpark.spark
+    val outDir = new java.io.File("/tmp/graft-tsvingest-bad")
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    outDir.mkdirs()
+    val os = new java.io.FileOutputStream(new java.io.File(outDir, "bad.conllu"))
+    try os.write(Array[Byte]('a', 0xC3.toByte, 0x28)) // malformed 2-byte seq
+    finally os.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      TsvIngest.readFiles(spark, s"$outDir/*.conllu").collect()
+    }
+    assert(e.getMessage.contains("non-UTF-8") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-UTF-8")))
+  }
 }
