@@ -198,6 +198,23 @@ class DetSeedSweepSpec extends AnyFunSuite {
     }
   }
 
+  for (seed <- seeds) test(s"seed $seed: canonical TTL write→parse roundtrip is the identity") {
+    val rnd = new scala.util.Random(seed * 47 + 31)
+    val words = randomWords(rnd, 1 + rnd.nextInt(3 * KgOracle.SENT_LEN + 5))
+    val sents = SpanParser.parseDoc(
+      InputDoc("d1", KgOracle.detSpansFor(words)), KgOracle.detCols)
+    // K1 writer → S3 reader, chunk structure and triple sets preserved
+    val ttl = Serializers.toCanonicalTtlDocument(sents, KgOracle.detCols, "urn:graft:d1#")
+    val chunks = TtlParser.parseDocument(ttl)
+    assert(chunks.length == sents.length)
+    for ((chunk, si) <- chunks.zipWithIndex) {
+      val exp = sents(si).triples.toSet
+      val got = chunk.toSet
+      assert(got == exp,
+        s"seed=$seed sent=${si + 1}: missing=${exp -- got} extra=${got -- exp}")
+    }
+  }
+
   for (seed <- seeds) test(s"seed $seed: TenTen corpus == closed form through the repair path") {
     val rnd = new scala.util.Random(seed * 37 + 17)
     // random length; tenLinesFor keeps only complete 3-token sentences
