@@ -34,7 +34,10 @@ object TsvIngest {
   /** file name → doc id: CoNLL-family extension and compression suffix
     * stripped (corpus/file.conllu.gz → "file") — the id a downstream
     * join or oracle sees should not depend on how the corpus was
-    * compressed or suffixed on disk. */
+    * compressed or suffixed on disk. Caveat: files differing ONLY by
+    * these suffixes (a.conll next to a.tsv in one glob) map to the same
+    * id — don't mix serializations of distinct documents under one stem
+    * in a single ingest. */
   private val IdRe = ".*?([^/]+?)(\\.(conllu|conll|tsv))?(\\.gz)?$".r
   def docIdOf(path: String): String = path match {
     case IdRe(id, _, _, _) => id
@@ -69,17 +72,33 @@ object TsvIngest {
     * fails loudly like the reference CLI (CoNLLRDFUpdater.java:779-789). */
   def readFiles(spark: SparkSession, path: String): Dataset[InputDoc] = {
     import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(hp) match {
-      case null => Array.empty[String]
-      case st => st.filter(_.isFile).map(_.getPath.toUri.toString)
-    }
+    val fs = hp.getFileSystem(hadoopConf)
+    // a plain directory reads its files (the pre-r5 text-source behavior);
+    // a glob expands; zero matches FAIL LOUDLY — a silent empty ingest
+    // would let a typo'd path look like a successful zero-doc run
+    val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
+    val files = matched.flatMap {
+      case st if st.isDirectory => fs.listStatus(st.getPath).filter(_.isFile)
+      case st if st.isFile => Array(st)
+      case _ => Array.empty[org.apache.hadoop.fs.FileStatus]
+    }.map(_.getPath.toUri.toString)
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(s"no input files match: $path")
+    // executors must see the SESSION'S Hadoop configuration (object-store
+    // credentials/endpoints arrive via spark.hadoop.* on the SparkConf,
+    // not classpath XML) — Configuration isn't serializable, so ship its
+    // effective properties and rebuild per partition
+    val confProps: Array[(String, String)] =
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
     val par = math.max(1, math.min(files.length, spark.sparkContext.defaultParallelism * 4))
     spark.createDataset(files.toSeq.sorted)
       .repartition(par)
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration()
+        confProps.foreach { case (k, v) => conf.set(k, v) }
         it.map { p =>
           val fp = new org.apache.hadoop.fs.Path(new java.net.URI(p))
           val in = fp.getFileSystem(conf).open(fp)

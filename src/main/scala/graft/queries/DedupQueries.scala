@@ -397,10 +397,14 @@ object DedupQueries {
       (s, dir) => {
         import s.implicits._
         val prof = langProfiles.toDF("lang", "bigram")
+        // localCheckpoint: the frame feeds BOTH the bigram-explode branch
+        // and the per-doc lang grid — without it each branch re-scans and
+        // re-repartitions the corpus
         val docs = Tables.widened(Tables.documents(s, dir))
           .select($"doc_id", lower($"text").as("t"))
           .filter(length($"t") >= 2)
           .select($"doc_id", $"t", (length($"t") - 1).cast("bigint").as("n"))
+          .localCheckpoint()
         val hits = docs
           .select($"doc_id", $"n",
             explode(sequence(lit(1), length($"t") - 1)).as("i"), $"t")

@@ -44,7 +44,7 @@ object KgQueries {
     * fixture for the K7 manager and streaming entries. v-tag: bump when
     * the det generator changes. */
   private def detSpansParquet(s: SparkSession, dir: String): String = {
-    val p = s"/tmp/graft-manager-dets-v1-${new java.io.File(dir).getName}"
+    val p = s"/tmp/graft-manager-dets-v1-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "documents")}"
     if (!new java.io.File(p, "_SUCCESS").exists())
       KgOracle.detDocs(s, dir).write.mode("overwrite").parquet(p)
     p
@@ -467,7 +467,7 @@ object KgQueries {
         // v-tag: bump when the det generator changes, so a stale /tmp
         // fixture from an older build can never satisfy the marker check
         val outDir = new java.io.File(
-          s"/tmp/graft-file-ingest-v1-${new java.io.File(dir).getName}")
+          s"/tmp/graft-file-ingest-v1-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "documents")}")
         if (!new java.io.File(outDir, "_SUCCESS").exists()) {
           outDir.mkdirs()
           val base = outDir.getAbsolutePath
@@ -537,20 +537,10 @@ object KgQueries {
       (s, dir) => {
         val in = detSpansParquet(s, dir)
         val base = s"/tmp/graft-stream-analyze-${new java.io.File(dir).getName}"
-        val outP = s"$base/out"
-        val cp = s"$base/cp"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
-        val q = graft.streaming.StreamingPipeline
-          .streamTriples(s, in, KgOracle.detCols, Pipeline.analyzeCascade)
-          .writeStream
-          .format("parquet")
-          .option("path", outP)
-          .option("checkpointLocation", cp)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(outP)
+        graft.streaming.StreamingPipeline.drainToParquet(
+            graft.streaming.StreamingPipeline
+              .streamTriples(s, in, KgOracle.detCols, Pipeline.analyzeCascade),
+            base)
           .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.analyzeSql)

@@ -23,7 +23,7 @@ object StreamQueries {
       "kg_stream_assemble",
       (s, dir) => {
         import s.implicits._
-        val base = s"/tmp/graft-stream-frags-v1-${new java.io.File(dir).getName}"
+        val base = s"/tmp/graft-stream-frags-v1-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "documents")}"
         val in = s"$base/in"
         if (!new java.io.File(in, "_SUCCESS").exists())
           KgOracle.detDocs(s, dir).flatMap { d =>
@@ -32,28 +32,16 @@ object StreamQueries {
               StreamingPipeline.SpanFrag(d.doc_id, "doc_end", "", "",
                 d.spans.map(_.offset).maxOption.getOrElse(0) + 1)
           }.write.mode("overwrite").parquet(in)
-        val outP = s"$base/out"
-        val cp = s"$base/cp"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outP))
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
         val schema = implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.SpanFrag]].schema
         val frags = s.readStream.schema(schema).parquet(in)
           .as[StreamingPipeline.SpanFrag]
         // NoTimeout: the fixture satisfies the fragments-before-doc_end
         // contract (a production ingest sets a positive timeout)
         val docs = StreamingPipeline.assembleDocs(frags, timeoutMs = 0L)
-        val q = Pipeline.rewriteTriples(
-            Pipeline.parse(docs, KgOracle.detCols), Pipeline.analyzeCascade)
-          .toDF()
-          .writeStream
-          .format("parquet")
-          .option("path", outP)
-          .option("checkpointLocation", cp)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(outP)
+        StreamingPipeline.drainToParquet(
+            Pipeline.rewriteTriples(
+              Pipeline.parse(docs, KgOracle.detCols), Pipeline.analyzeCascade).toDF(),
+            base)
           .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.analyzeSql)
@@ -75,31 +63,20 @@ object StreamQueries {
       // sides.
       "q45_stream_window",
       (s, dir) => {
-        val base = s"/tmp/graft-stream-events-${new java.io.File(dir).getName}"
+        val base = s"/tmp/graft-stream-events-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "events")}"
         val in = s"$base/in"
         if (!new java.io.File(in, "_SUCCESS").exists())
           Tables.events(s, dir).write.mode("overwrite").parquet(in)
-        val outP = s"$base/out"
-        val cp = s"$base/cp"
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outP))
-        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
         val schema = Tables.events(s, dir).schema
         val stream = s.readStream.schema(schema).parquet(in)
-        val q = graft.streaming.StreamingPipeline
-          .windowedEventCounts(stream)
-          .select(
-            unix_timestamp(col("window.start")).as("ws"),
-            unix_timestamp(col("window.end")).as("we"),
-            col("event_type"), col("n"), col("v"))
-          .writeStream
-          .format("parquet")
-          .option("path", outP)
-          .option("checkpointLocation", cp)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        s.read.parquet(outP).orderBy(col("ws"), col("event_type"))
+        StreamingPipeline.drainToParquet(
+            StreamingPipeline.windowedEventCounts(stream)
+              .select(
+                unix_timestamp(col("window.start")).as("ws"),
+                unix_timestamp(col("window.end")).as("we"),
+                col("event_type"), col("n"), col("v")),
+            base)
+          .orderBy(col("ws"), col("event_type"))
       },
       Some("""WITH e AS (
           SELECT time_bucket(INTERVAL '5 minutes', ts) AS wstart, event_type, value

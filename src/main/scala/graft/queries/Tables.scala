@@ -38,6 +38,23 @@ object Tables {
     * for columnar scan→agg plans the exchange costs more than the
     * single-threaded vectorized decode saves (measured: widening
     * lineitem made q01 0.4 → 0.7 s warm). */
+  /** Cheap content fingerprint of a source table's on-disk form (file or
+    * directory): total bytes + newest mtime, seconds granularity. Keys
+    * the /tmp fixture caches (file-ingest corpus, manager/streaming
+    * parquet stages) so a REGENERATED testdata table can never be served
+    * a stale derived fixture — the v-tags guard generator changes, this
+    * guards source-content changes under an unchanged path. */
+  def srcTag(dir: String, name: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isFile) (f.length, f.lastModified)
+      else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+        .map(walk).foldLeft((0L, 0L)) {
+          case ((s, m), (s2, m2)) => (s + s2, math.max(m, m2))
+        }
+    val (bytes, mtime) = walk(new java.io.File(s"$dir/$name.parquet"))
+    s"$bytes-${mtime / 1000}"
+  }
+
   def widened(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df

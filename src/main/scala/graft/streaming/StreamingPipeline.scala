@@ -134,6 +134,28 @@ object StreamingPipeline {
       }
   }
 
+  /** Drive a streaming DataFrame to completion into an exactly-once
+    * parquet sink under `base` and return the materialized result:
+    * `base/out` + `base/cp` are cleared first so the query
+    * deterministically reprocesses ALL available input (the resume
+    * contract itself is covered by the checkpoint-resume gate). Shared
+    * by the driver-gated streaming registry entries. */
+  def drainToParquet(df: DataFrame, base: String): DataFrame = {
+    val outP = s"$base/out"
+    val cp = s"$base/cp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outP))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outP)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.read.parquet(outP)
+  }
+
   /** Convenience: drive a streaming query synchronously over whatever is
     * in the input dir (test/bench harness). */
   def runOnce(df: DataFrame, queryName: String): Unit = {

@@ -28,8 +28,12 @@ object ScaleSweep {
     "customer", "sort", "order", "slow", "line", "part", "fast", "the",
     "row", "agg", "key", "query", "a", "scan", "batch")
 
+  // floorMod keeps the value in [0, 2^31): .toInt.abs would return a
+  // NEGATIVE number when the truncated bits equal Int.MinValue
   private def h(s: String): Int =
-    java.lang.Long.parseLong(Hashing.md5hex(s).substring(0, 12), 16).toInt.abs
+    java.lang.Math.floorMod(
+      java.lang.Long.parseLong(Hashing.md5hex(s).substring(0, 12), 16),
+      Int.MaxValue.toLong).toInt
 
   private def baseWords(id: Long): Array[String] = {
     val n = 10 + h(s"len|$id") % 91
@@ -77,8 +81,10 @@ object ScaleSweep {
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/scale_sweep.json"
-    val dirA = "/tmp/graft-scale-1x"
-    val dirB = "/tmp/graft-scale-10x"
+    // v-tag: bump when the generator changes (v2: floorMod hash) so a
+    // stale /tmp corpus can never satisfy the _SUCCESS check
+    val dirA = "/tmp/graft-scale-1x-v2"
+    val dirB = "/tmp/graft-scale-10x-v2"
     val nA = 5000L // the sf0.1 shape
     val nB = 50000L // the sf1 shape
 
