@@ -4,8 +4,13 @@ import org.apache.spark.sql.SparkSession
 import graft.conll.{DocGen, Pipeline}
 import graft.queries.KgQueries
 
-/** Benchmark main. Emits ONE JSON line with:
-  *  - per-query wall seconds over SPARK_GRAFT_SF_DIR;
+/** Benchmark main. Emits ONE COMPACT JSON headline line on stdout
+  * (totals, scaling efficiency, throughput, top-10 warm entries — sized
+  * to fit the driver's stdout capture) and writes the FULL per-entry
+  * cold+warm JSON to /tmp/bench_final.json plus docs/bench_full_latest
+  * .json when run from the repo. Measured:
+  *  - per-query wall seconds over SPARK_GRAFT_SF_DIR (write-once /tmp
+  *    fixtures are materialized BEFORE the timed region);
   *  - KG pipeline throughput (triples/sec) at two parallelism levels with
   *    the derived scaling efficiency (T_N / T_4N) / 4;
   *  - a pure-CPU busy-loop calibration of the same two levels (the
@@ -141,6 +146,11 @@ object Bench {
 
     val spark = session(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // materialize the write-once /tmp fixtures OUTSIDE the timed region
+    // (ADVICE r5): on a fresh host the first kg_file_ingest/kg_stream_*
+    // execution otherwise pays one-time fixture generation, inflating its
+    // cold number and cold scale ratio relative to fixture-less entries
+    graft.queries.Fixtures.ensureAll(spark, sfDir)
     // A failed entry records -1.0 (NOT a fast timing — silently charging
     // ~0s would fake a superb scale ratio in the sf2 evidence) and is
     // excluded from totals. Between entries both catalog-cached plans
@@ -198,8 +208,10 @@ object Bench {
           sfDir
       }
     }
-    val sf2 = if (sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory)
-      Some(registryPass(sf2Dir)) else None
+    val sf2 = if (sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory) {
+      graft.queries.Fixtures.ensureAll(spark, sf2Dir) // untimed, as above
+      Some(registryPass(sf2Dir))
+    } else None
     val sf2Json = sf2.map { r =>
       val cold2 = r.map { case (k, (c, _)) => k -> c }
       val warm2 = r.map { case (k, (_, w)) => k -> w }
@@ -226,11 +238,43 @@ object Bench {
         s""""input_scaling_tps_ratio":${(triples / t4N) / (triplesSmall / tSmall)},""" +
         sf2Json +
         s""""sf":"$sfDir"}"""
-    // stdout (unwrapped via run/outputStrategy := StdoutOutput) + a file
-    // copy, so the driver can parse the line structurally either way
-    println(json)
+    // The FULL per-entry JSON goes to files: /tmp plus (when run from the
+    // repo) a committed docs/ copy — at 76 entries × 4 maps the one-line
+    // form outgrew the driver's 2000-char stdout capture and BENCH_r05
+    // arrived unparseable (VERDICT r5 #3).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/bench_final.json"), json + "\n")
+    val docsCopy = new java.io.File("docs")
+    if (docsCopy.isDirectory)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("docs/bench_full_latest.json"), json + "\n")
+    // stdout (unwrapped via run/outputStrategy := StdoutOutput) gets a
+    // COMPACT headline line that fits the capture with margin: totals,
+    // scaling/throughput evidence, the top-10 warm entries, and pointers
+    // to the full artifacts.
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    val top10 = resultsWarm.toSeq.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val nFailed = results.valuesIterator.count(_ < 0)
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec",""" +
+        s""""total_warm":${r3(totalOf(resultsWarm))},"n_entries":${results.size},""" +
+        s""""n_failed":$nFailed,"queries":$top10,""" +
+        s""""queries_note":"top-10 by warm sec of ${results.size}; full per-entry cold+warm maps in the files below",""" +
+        sf2.map { r =>
+          s""""total_sf2":${r3(totalOf(r.map { case (k, (c, _)) => k -> c }))},""" +
+            s""""total_sf2_warm":${r3(totalOf(r.map { case (k, (_, w)) => k -> w }))},"""
+        }.getOrElse("") +
+        s""""kg_docs":$nDocs,"kg_triples":$triples,""" +
+        s""""kg_triples_per_sec_local$levelN":${math.rint(triples / tN)},""" +
+        s""""kg_triples_per_sec_local$level4N":${math.rint(triples / t4N)},""" +
+        s""""scaling_levels":"local[$levelN] vs local[$level4N]",""" +
+        s""""scaling_efficiency":${r3(efficiency)},""" +
+        s""""scaling_rounds_total":$attempts,"scaling_rounds_clean":$clean,""" +
+        s""""input_scaling_tps_ratio":${r3((triples / t4N) / (triplesSmall / tSmall))},""" +
+        s""""full":"/tmp/bench_final.json","full_committed":"docs/bench_full_latest.json",""" +
+        s""""sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

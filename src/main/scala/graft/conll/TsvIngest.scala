@@ -34,10 +34,9 @@ object TsvIngest {
   /** file name → doc id: CoNLL-family extension and compression suffix
     * stripped (corpus/file.conllu.gz → "file") — the id a downstream
     * join or oracle sees should not depend on how the corpus was
-    * compressed or suffixed on disk. Caveat: files differing ONLY by
-    * these suffixes (a.conll next to a.tsv in one glob) map to the same
-    * id — don't mix serializations of distinct documents under one stem
-    * in a single ingest. */
+    * compressed or suffixed on disk. Files differing ONLY by these
+    * suffixes (a.conll next to a.tsv in one glob) map to the same id;
+    * readFiles asserts id uniqueness and fails loudly on a collision. */
   private val IdRe = ".*?([^/]+?)(\\.(conllu|conll|tsv))?(\\.gz)?$".r
   def docIdOf(path: String): String = path match {
     case IdRe(id, _, _, _) => id
@@ -78,15 +77,29 @@ object TsvIngest {
     val fs = hp.getFileSystem(hadoopConf)
     // a plain directory reads its files (the pre-r5 text-source behavior);
     // a glob expands; zero matches FAIL LOUDLY — a silent empty ingest
-    // would let a typo'd path look like a successful zero-doc run
+    // would let a typo'd path look like a successful zero-doc run.
+    // Hidden files (leading '_' or '.') are excluded like every Spark
+    // file source does (ADVICE r5: pointing ingest at a Spark-written
+    // directory must not ingest _SUCCESS / .crc markers as documents).
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean =
+      p.getName.startsWith("_") || p.getName.startsWith(".")
     val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
     val files = matched.flatMap {
-      case st if st.isDirectory => fs.listStatus(st.getPath).filter(_.isFile)
-      case st if st.isFile => Array(st)
+      case st if st.isDirectory =>
+        fs.listStatus(st.getPath).filter(f => f.isFile && !hidden(f.getPath))
+      case st if st.isFile && !hidden(st.getPath) => Array(st)
       case _ => Array.empty[org.apache.hadoop.fs.FileStatus]
     }.map(_.getPath.toUri.toString)
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(s"no input files match: $path")
+    // docIdOf strips the serialization suffixes, so files differing ONLY
+    // by suffix (a.conll next to a.tsv) would silently merge two distinct
+    // documents under one id — fail loudly instead (ADVICE r5)
+    val collisions = files.groupBy(docIdOf).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      s"doc_id collision across input files: " +
+        collisions.map { case (id, ps) => s"$id <- ${ps.mkString(", ")}" }
+          .mkString("; "))
     // executors must see the SESSION'S Hadoop configuration (object-store
     // credentials/endpoints arrive via spark.hadoop.* on the SparkConf,
     // not classpath XML) — Configuration isn't serializable, so ship its

@@ -18,11 +18,19 @@ import org.apache.spark.sql.functions._
   *    reach per round, O(log n) rounds).
   *  - `localCheckpoint` truncates lineage every iteration so the plan
   *    doesn't grow with the loop (SURVEY §4 "fixpoint executor").
-  *  - the convergence check rides the round's one materialization job
-  *    (changed-label accumulator bumped while the checkpoint writes) —
-  *    exact under min-label monotonicity, and no per-round compare join
-  *    over the full label table (at 10^9 nodes that join was a real
-  *    shuffle every round, not just a scheduling cost).
+  *  - convergence: a changed-label accumulator riding the round's one
+  *    materialization job is the cheap TRIGGER only; Spark guarantees
+  *    exact accumulator semantics only in actions, so a trigger firing
+  *    is CONFIRMED by an exact anti-join label compare before the loop
+  *    exits (the runStar pattern; ADVICE r5 / VERDICT r5 #1 — the
+  *    trigger-only variant produced one nondeterministic wrong-label
+  *    run). The compare join runs only on rounds where the trigger
+  *    fires — normally once per call, not per round.
+  *  - belt-and-braces, both variants: the returned labels are verified
+  *    as an exact fixpoint (every edge's endpoints share one label —
+  *    see [[assertComponentLabels]]) so ANY early-convergence anomaly,
+  *    known or unknown, is a loud error rather than a silent wrong
+  *    answer. One join over the edge set, once per call.
   */
 object ConnectedComponents {
 
@@ -55,17 +63,24 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val prev = labels
       val prop = labels.join(sym, labels("node") === sym("src"))
         .select(sym("dst").as("node"), labels("lbl"))
-      // Convergence detection rides the round's ONE materialization job:
-      // the old label travels through the min-aggregation as a second
-      // column and a bump-UDF counts rows whose label changed while the
-      // eager localCheckpoint materializes the partitions — no separate
-      // compare job per round (was a join + isEmpty action; on short
-      // per-round data the scheduling floor of that extra job dominated
-      // the loop). Labels are monotonically non-increasing, so
-      // changed == 0 is exact; accumulator over-count under task retry
-      // only ever adds a spare round, never falsely converges.
+      // The changed-label count rides the round's ONE materialization
+      // job: the old label travels through the min-aggregation as a
+      // second column and a bump-UDF counts rows whose label changed
+      // while the eager localCheckpoint materializes the partitions —
+      // no separate compare job on non-final rounds. But accumulators
+      // inside transformations are NOT an exactness contract (they are
+      // exact only in actions; retries/codegen/evaluation-order edges
+      // are outside the spec), so `changed == 0` is only the TRIGGER:
+      // convergence is CONFIRMED by an exact anti-join compare of the
+      // two checkpointed label tables (both hold exactly one row per
+      // node over the same node set, so an empty next∖prev difference
+      // ⟺ identical labels ⟺ min-label fixpoint). A spurious trigger
+      // costs one join and the loop continues; a suppressed trigger
+      // costs a spare round; neither can mislabel. (VERDICT r5 #1:
+      // the trigger-only variant flaked once in the driver run.)
       val changedAcc = spark.sparkContext.longAccumulator(s"cc_changed_$i")
       val bump = udf { (l: String, o: String) =>
         if (o == null || l != o) changedAcc.add(1)
@@ -76,8 +91,9 @@ object ConnectedComponents {
         .groupBy($"node").agg(min($"lbl").as("lbl"), max($"old").as("old"))
         .select($"node", bump($"lbl", $"old").as("lbl"))
         .localCheckpoint()
+      converged = changedAcc.value == 0 &&
+        next.join(prev, Seq("node", "lbl"), "left_anti").isEmpty
       labels = next
-      converged = changedAcc.value == 0
       i += 1
     }
     // non-convergence means silently-wrong labels (a label may not yet
@@ -86,7 +102,42 @@ object ConnectedComponents {
     require(!strict || converged,
       s"min-label CC did not converge in $maxIter rounds — graph diameter " +
         "exceeds the round budget; use runStar for high-diameter graphs")
-    labels.select($"node", $"lbl".as("component"))
+    val out = labels.select($"node", $"lbl".as("component"))
+    // capped non-strict runs are diagnostics of a known-wrong state —
+    // verifying them would (correctly) throw. Verify against the
+    // CHECKPOINTED symmetrized edges, not the caller's raw plan: the
+    // input may hang off an expensive un-persisted chain (q34's LSH
+    // cascade) that a second traversal would recompute in full.
+    if (converged) assertComponentLabels(sym, out)
+    out
+  }
+
+  /** Post-convergence exact fixpoint verification (VERDICT r5 #1a).
+    *
+    * Exactness argument, independent of any accumulator or convergence
+    * trigger: both algorithms maintain the invariant
+    * `min(component(v)) ≤ label(v) ≤ v` (labels are seeded from node
+    * ids and only ever replaced by minima of existing labels). If every
+    * edge's endpoints carry the SAME label, labels are constant per
+    * component; the component's minimum node m has label ≤ m by the
+    * invariant and ≥ min(component) = m, so the constant IS m — i.e.
+    * edge-wise label equality ⟹ the exact min-label answer. A missing
+    * endpoint (node dropped from the label table) is also a violation.
+    * Cost: one join over the edge set, once per run — any early-
+    * convergence anomaly becomes a loud error instead of a wrong hash.
+    */
+  def assertComponentLabels(edges: DataFrame, labels: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
+    val l1 = labels.select(col("node").as("src"), col("component").as("lsrc"))
+    val l2 = labels.select(col("node").as("dst"), col("component").as("ldst"))
+    val bad = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .join(l1, Seq("src"), "left").join(l2, Seq("dst"), "left")
+      .filter(col("lsrc").isNull || col("ldst").isNull ||
+        col("lsrc") =!= col("ldst"))
+    require(bad.isEmpty,
+      "CC labels are not a fixpoint: an edge joins two different labels " +
+        "(or an endpoint is unlabeled) — convergence was declared early")
   }
 
   /** Connected components by alternating large-star / small-star rounds
@@ -120,6 +171,10 @@ object ConnectedComponents {
     import spark.implicits._
     var e = edges.select($"src".as("u"), $"dst".as("v"))
       .filter($"u" =!= $"v").distinct().localCheckpoint()
+    // keep the checkpointed ORIGINAL edge set for the final label
+    // verification — re-traversing the caller's raw plan would recompute
+    // its full upstream chain (q34's LSH cascade) a second time
+    val e0 = e
     var eCount = e.count()
     var converged = false
     var i = 0
@@ -170,8 +225,14 @@ object ConnectedComponents {
       s"large-star/small-star CC did not converge in $maxIter rounds")
     // converged edge set is a star per component: (node → center), with
     // each center mapping to itself
-    (e.select($"u".as("node"), $"v".as("component"))
+    val out = e.select($"u".as("node"), $"v".as("component"))
       .union(e.select($"v".as("node"), $"v".as("component")))
-      .distinct(), i)
+      .distinct()
+      .localCheckpoint()
+    // same belt-and-braces exactness gate as run(): the star read-off is
+    // verified against the original (deduped, checkpointed) edges, once
+    assertComponentLabels(
+      e0.select($"u".as("src"), $"v".as("dst")), out)
+    (out, i)
   }
 }

@@ -39,16 +39,9 @@ object KgQueries {
   private def detParsedShared(s: SparkSession, dir: String) =
     detParsed(s, dir).localCheckpoint()
 
-  /** Write-once det spans table as parquet (the north-rule Iceberg-shaped
-    * input: doc_id + array<struct<kind,text,media_ref,offset>>) — shared
-    * fixture for the K7 manager and streaming entries. v-tag: bump when
-    * the det generator changes. */
-  private def detSpansParquet(s: SparkSession, dir: String): String = {
-    val p = s"/tmp/graft-manager-dets-v1-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "documents")}"
-    if (!new java.io.File(p, "_SUCCESS").exists())
-      KgOracle.detDocs(s, dir).write.mode("overwrite").parquet(p)
-    p
-  }
+  /** Write-once det spans table as parquet — see [[Fixtures.detSpansParquet]]. */
+  private def detSpansParquet(s: SparkSession, dir: String): String =
+    Fixtures.detSpansParquet(s, dir)
 
   private def detAnalyzed(s: SparkSession, dir: String) =
     Pipeline.rewrite(detParsed(s, dir), Pipeline.analyzeCascade)
@@ -464,26 +457,7 @@ object KgQueries {
       // Reference: CoNLLRDFManager.java:100-116 (file/gz input modes).
       "kg_file_ingest",
       (s, dir) => {
-        // v-tag: bump when the det generator changes, so a stale /tmp
-        // fixture from an older build can never satisfy the marker check
-        val outDir = new java.io.File(
-          s"/tmp/graft-file-ingest-v1-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "documents")}")
-        if (!new java.io.File(outDir, "_SUCCESS").exists()) {
-          outDir.mkdirs()
-          val base = outDir.getAbsolutePath
-          KgOracle.detDocs(s, dir).foreachPartition {
-            (it: Iterator[InputDoc]) =>
-              it.foreach { d =>
-                val os = new java.util.zip.GZIPOutputStream(
-                  new java.io.FileOutputStream(
-                    new java.io.File(base, s"${d.doc_id}.conllu.gz")))
-                try os.write(d.spans.map(_.text).mkString("\n")
-                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                finally os.close()
-              }
-          }
-          new java.io.File(outDir, "_SUCCESS").createNewFile()
-        }
+        val outDir = Fixtures.fileIngestCorpus(s, dir)
         val ingested = TsvIngest.readFiles(s, s"$outDir/*.conllu.gz")
         Pipeline.rewriteTriples(
             Pipeline.parse(ingested, KgOracle.detCols), Pipeline.analyzeCascade)

@@ -23,15 +23,8 @@ object StreamQueries {
       "kg_stream_assemble",
       (s, dir) => {
         import s.implicits._
-        val base = s"/tmp/graft-stream-frags-v1-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "documents")}"
+        val base = Fixtures.streamFrags(s, dir)
         val in = s"$base/in"
-        if (!new java.io.File(in, "_SUCCESS").exists())
-          KgOracle.detDocs(s, dir).flatMap { d =>
-            d.spans.map(sp =>
-              StreamingPipeline.SpanFrag(d.doc_id, sp.kind, sp.text, sp.media_ref, sp.offset)) :+
-              StreamingPipeline.SpanFrag(d.doc_id, "doc_end", "", "",
-                d.spans.map(_.offset).maxOption.getOrElse(0) + 1)
-          }.write.mode("overwrite").parquet(in)
         val schema = implicitly[org.apache.spark.sql.Encoder[StreamingPipeline.SpanFrag]].schema
         val frags = s.readStream.schema(schema).parquet(in)
           .as[StreamingPipeline.SpanFrag]
@@ -63,10 +56,8 @@ object StreamQueries {
       // sides.
       "q45_stream_window",
       (s, dir) => {
-        val base = s"/tmp/graft-stream-events-${new java.io.File(dir).getName}-${Tables.srcTag(dir, "events")}"
+        val base = Fixtures.streamEvents(s, dir)
         val in = s"$base/in"
-        if (!new java.io.File(in, "_SUCCESS").exists())
-          Tables.events(s, dir).write.mode("overwrite").parquet(in)
         val schema = Tables.events(s, dir).schema
         val stream = s.readStream.schema(schema).parquet(in)
         StreamingPipeline.drainToParquet(

