@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.functions.Hashing
+import graft.streaming.StreamingPipeline
 
 /** Third-decade scale evidence (VERDICT r4 item 4): the committed
   * two-SF bench curves cover one measured decade (sf0.01 → sf0.1); this
@@ -79,6 +80,127 @@ object ScaleSweep {
     "kg_eval_possynt", "kg_brackets_spanuri", "kg_tenten",
     "q44_langid_bigram", "kg_file_ingest", "kg_stream_analyze")
 
+  /** One wave-tagged span fragment (flattened for a partitionBy write:
+    * the wave becomes the partition dir, the rest is the SpanFrag). */
+  final case class WaveFrag(wave: Int, doc_id: String, kind: String,
+      text: String, media_ref: String, offset: Int)
+
+  /** Touch files so a file-source stream processes them in the given
+    * order (the source sorts by modification time): group k gets mtime
+    * t0 + k·2s. */
+  private def mtimeOrder(groups: Seq[Seq[java.io.File]]): Unit =
+    groups.zipWithIndex.foreach { case (fs, k) =>
+      fs.foreach(_.setLastModified(1767225600000L + k * 2000L))
+    }
+
+  private def peakState(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Double, Int) = {
+    val ps = q.recentProgress.toSeq
+    val rows = ps.flatMap(_.stateOperators.map(_.numRowsTotal)).maxOption.getOrElse(0L)
+    val bytes = ps.flatMap(_.stateOperators.map(_.memoryUsedBytes)).maxOption.getOrElse(0L)
+    val withData = ps.filter(_.numInputRows > 0)
+    val meanMs = if (withData.isEmpty) 0.0
+      else withData.map(_.durationMs.getOrDefault("triggerExecution", 0L).toDouble)
+        .sum / withData.size
+    (rows, bytes, meanMs, withData.size)
+  }
+
+  /** Keyed-state assembly at scale (VERDICT r5 #5): each document's
+    * fragments are split across two consecutive "waves"; waves become
+    * micro-batches (one file per wave, mtime-ordered, maxFilesPerTrigger
+    * =1), so ~nDocs/nWaves documents are OPEN in state at any batch
+    * boundary. 10× the corpus is fed as 10× the waves with the SAME
+    * in-flight width — the streaming contract at 10^12 docs: state
+    * tracks ARRIVAL SKEW (docs in flight), never corpus size. Peak
+    * state rows should therefore stay ≈flat across the decade. */
+  private def assembleStateProbe(spark: SparkSession, dir: String,
+      nWaves: Int, tag: String): (Long, Long, Double, Int, Double) = {
+    import spark.implicits._
+    val base = s"/tmp/graft-scale-stream-asm-$tag-v1"
+    val in = s"$base/in"
+    if (!new java.io.File(s"$base/_written").exists()) {
+      val frags = graft.queries.KgOracle.detDocs(spark, dir).flatMap { d =>
+        val w = h(s"wave|${d.doc_id}") % nWaves
+        val offs = d.spans.map(_.offset).sorted
+        val cut = offs.lift(offs.size / 2).getOrElse(Int.MaxValue)
+        d.spans.map { sp =>
+          WaveFrag(if (sp.offset < cut) w else w + 1,
+            d.doc_id, sp.kind, sp.text, sp.media_ref, sp.offset)
+        } :+ WaveFrag(w + 1, d.doc_id, "doc_end", "", "",
+          offs.maxOption.getOrElse(0) + 1)
+      }
+      // hash-repartition by wave → exactly one task holds each wave →
+      // one file per wave dir → batch == wave under maxFilesPerTrigger=1
+      frags.repartition(nWaves + 1, $"wave")
+        .write.mode("overwrite").partitionBy("wave").parquet(in)
+      new java.io.File(s"$base/_written").createNewFile()
+    }
+    val waveDirs = new java.io.File(in).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("wave="))
+      .sortBy(f => f.getName.stripPrefix("wave=").toInt)
+    mtimeOrder(waveDirs.toSeq.map(_.listFiles().filter(f =>
+      !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq))
+    val schema = implicitly[org.apache.spark.sql.Encoder[WaveFrag]].schema
+    val t0 = System.nanoTime()
+    val frags = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .select($"doc_id", $"kind", $"text", $"media_ref", $"offset")
+      .as[StreamingPipeline.SpanFrag]
+    // mtime order guarantees fragments-before-doc_end per document, the
+    // NoTimeout contract (the gated entry's regime); state.remove() on
+    // doc_end means state rows == open documents, exactly
+    val docs = StreamingPipeline.assembleDocs(frags, timeoutMs = 0L)
+    val q = docs.toDF().writeStream.format("noop")
+      .option("checkpointLocation", s"$base/cp-$tag")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val (rows, bytes, meanMs, batches) = peakState(q)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/cp-$tag"))
+    (rows, bytes, meanMs, batches, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Watermarked window-agg state at scale: events are fed in EVENT-TIME
+    * ORDER (range-sorted files, mtime-ordered) over a fixed 6 h horizon,
+    * so the watermark advances batch by batch and APPEND-mode eviction
+    * drops closed windows as it goes. State rows are bounded by
+    * (watermark horizon + batch time-slice) / window × event types —
+    * 10× the events over the same horizon must leave peak state ≈flat
+    * (the bigger corpus means BIGGER batches, not more state). */
+  private def windowStateProbe(spark: SparkSession, nEvents: Long,
+      nFiles: Int, tag: String): (Long, Long, Double, Int, Double) = {
+    import spark.implicits._
+    val base = s"/tmp/graft-scale-stream-win-$tag-v1"
+    val in = s"$base/in"
+    val epoch = 1767225600000L // 2026-01-01T00:00Z; no wall clock in data
+    if (!new java.io.File(s"$base/_written").exists()) {
+      spark.range(0, nEvents, 1, 64).map { id =>
+        val ts = new java.sql.Timestamp(epoch + h(s"ts|$id") % (6L * 3600 * 1000))
+        (ts, s"e${h(s"et|$id") % 6}", (h(s"v|$id") % 1000) / 100.0)
+      }.toDF("ts", "event_type", "value")
+        .repartitionByRange(nFiles, $"ts")
+        .sortWithinPartitions($"ts")
+        .write.mode("overwrite").parquet(in)
+      new java.io.File(s"$base/_written").createNewFile()
+    }
+    val parts = new java.io.File(in).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-"))
+      .sortBy(_.getName)
+    mtimeOrder(parts.toSeq.map(Seq(_)))
+    val schema = spark.read.parquet(in).schema
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val q = StreamingPipeline.windowedEventCounts(stream)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$base/cp-$tag")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val (rows, bytes, meanMs, batches) = peakState(q)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/cp-$tag"))
+    (rows, bytes, meanMs, batches, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "/tmp/scale_sweep.json"
     // v-tag: bump when the generator changes (v2: floorMod hash) so a
@@ -117,12 +239,46 @@ object ScaleSweep {
       System.err.println(f"[scale] $name%-22s ${tA}%6.2f s -> ${tB}%6.2f s  ratio ${tB / tA}%5.2f")
       (name, tA, tB)
     }
-    val json = rows.map { case (n, a, b) =>
+    val entriesJson = rows.map { case (n, a, b) =>
       f""""$n":{"t_5k":$a%.3f,"t_50k":$b%.3f,"ratio":${b / a}%.3f}"""
-    }.mkString(
-      s"""{"n_docs_small":$nA,"n_docs_large":$nB,"entries":{""",
-      ",",
-      "}}")
+    }.mkString("{", ",", "}")
+
+    // streaming-state growth (VERDICT r5 #5): 10× corpus, same in-flight
+    // width → peak state rows/bytes must stay ≈flat (sub-linear)
+    def stateJson(tag: String, r: (Long, Long, Double, Int, Double)): String =
+      f""""$tag":{"peak_state_rows":${r._1},"peak_state_bytes":${r._2},""" +
+        f""""mean_batch_ms":${r._3}%.1f,"batches":${r._4},"total_s":${r._5}%.2f}"""
+    val asmA = assembleStateProbe(spark, dirA, nWaves = 10, tag = "5k")
+    val asmB = assembleStateProbe(spark, dirB, nWaves = 100, tag = "50k")
+    System.err.println(s"[scale] assemble state 5k: $asmA  50k: $asmB")
+    val winA = windowStateProbe(spark, nEvents = 50000L, nFiles = 12, tag = "5k")
+    val winB = windowStateProbe(spark, nEvents = 500000L, nFiles = 120, tag = "50k")
+    System.err.println(s"[scale] window state 5k: $winA  50k: $winB")
+    val streamingJson =
+      s""""streaming_state":{${stateJson("assemble_5k", asmA)},${stateJson("assemble_50k", asmB)},""" +
+        s"""${stateJson("window_5k", winA)},${stateJson("window_50k", winB)},""" +
+        f""""assemble_state_ratio":${asmB._1.toDouble / math.max(1, asmA._1)}%.3f,""" +
+        f""""window_state_ratio":${winB._1.toDouble / math.max(1, winA._1)}%.3f}"""
+
+    // fourth decade (VERDICT r5 #6), opt-in: 500k docs for the iterative-
+    // round entries whose 10× ratios were the sweep's worst — confirms
+    // the round-count story holds one more decade
+    val decade4Json = if (args.contains("--decade4")) {
+      val dirC = "/tmp/graft-scale-100x-v2"
+      val nC = 500000L
+      generate(spark, dirC, nC)
+      val d4 = Seq("q34_dup_clusters", "q30_tree_depth", "q42_cc_chain").map { name =>
+        val tB = time(name, dirB)
+        val tC = time(name, dirC)
+        System.err.println(f"[scale] d4 $name%-22s ${tB}%6.2f s -> ${tC}%6.2f s  ratio ${tC / tB}%5.2f")
+        f""""$name":{"t_50k":$tB%.3f,"t_500k":$tC%.3f,"ratio":${tC / tB}%.3f}"""
+      }.mkString(s""","decade4":{"n_docs":$nC,"entries":{""", ",", "}}")
+      d4
+    } else ""
+
+    val json =
+      s"""{"n_docs_small":$nA,"n_docs_large":$nB,"entries":$entriesJson,""" +
+        streamingJson + decade4Json + "}"
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
