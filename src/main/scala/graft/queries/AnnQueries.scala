@@ -22,7 +22,7 @@ object AnnQueries {
   /** (vec_id, i [1-based], x [double]) exploded embeddings. */
   private def exploded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.widened(Tables.embeddings(s, dir))
+    Tables.widened(s, dir, "embeddings")
       .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
       .select($"vec_id", ($"pos" + 1).cast("int").as("i"), $"xf".cast("double").as("x"))
   }
@@ -45,7 +45,7 @@ object AnnQueries {
       "q28_ann_topk",
       (s, dir) => {
         import s.implicits._
-        val emb = Tables.widened(Tables.embeddings(s, dir))
+        val emb = Tables.widened(s, dir, "embeddings")
           .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         val queries = emb.filter(_._1 < 10).collect().sortBy(_._1)
           .map { case (id, v) => (id, v, DecimalDot.normSq(v)) }

@@ -406,7 +406,7 @@ object DedupQueries {
         // localCheckpoint: the frame feeds BOTH the bigram-explode branch
         // and the per-doc lang grid — without it each branch re-scans and
         // re-repartitions the corpus
-        val docs = Tables.widened(Tables.documents(s, dir))
+        val docs = Tables.widened(s, dir, "documents")
           .select($"doc_id", lower($"text").as("t"))
           .filter(length($"t") >= 2)
           .select($"doc_id", $"t", (length($"t") - 1).cast("bigint").as("n"))
@@ -519,7 +519,7 @@ object DedupQueries {
             graft.functions.Hashing.md5hex(s"${p}_${i + 1}").charAt(0)) >= 0) 1.0 else -1.0
         }
         val pB = s.sparkContext.broadcast(planes)
-        val base = Tables.widened(Tables.embeddings(s, dir))
+        val base = Tables.widened(s, dir, "embeddings")
           .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         val aug = base.flatMap { case (id, v) =>
           if (id % 20 == 0) {

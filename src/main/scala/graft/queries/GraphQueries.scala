@@ -71,7 +71,7 @@ object GraphQueries {
       "q31_ann_ivf",
       (s, dir) => {
         import s.implicits._
-        val emb = Tables.widened(Tables.embeddings(s, dir))
+        val emb = Tables.widened(s, dir, "embeddings")
           .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         // Centroids are a FIXED-k deterministic sample (vec_id % 50 = 0
         // within the first 1000 ids → at most 20 centroids regardless of
@@ -176,7 +176,7 @@ object GraphQueries {
       "q38_ann_ivf_multiprobe",
       (s, dir) => {
         import s.implicits._
-        val emb = Tables.widened(Tables.embeddings(s, dir))
+        val emb = Tables.widened(s, dir, "embeddings")
           .select($"vec_id", $"embedding").as[(Long, Array[Float])]
         val cents = emb.filter(t => t._1 % 50 == 0 && t._1 < 1000)
           .collect().sortBy(_._1)

@@ -45,7 +45,7 @@ object KgOracle {
     * is a no-op; see the Scaladoc on Tables.widened. */
   private def docTexts(s: SparkSession, dir: String): Dataset[(String, String)] = {
     import s.implicits._
-    Tables.widened(Tables.documents(s, dir))
+    Tables.widened(s, dir, "documents")
       .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
   }
 

@@ -34,7 +34,7 @@ object MmQueries {
       "mm_media_meta",
       (s, dir) =>
         Multimodal.extractMeta(
-            Multimodal.mediaFromDocuments(Tables.widened(Tables.documents(s, dir)))).toDF()
+            Multimodal.mediaFromDocuments(Tables.widened(s, dir, "documents"))).toDF()
           .orderBy(col("media_ref")),
       Some(s"""$mediaCte
         SELECT media_ref, 'image' AS kind,
@@ -52,7 +52,7 @@ object MmQueries {
       (s, dir) =>
         Multimodal.dupFrames(
             Multimodal.sampleFrames(
-              Multimodal.mediaFromDocuments(Tables.widened(Tables.documents(s, dir)))))
+              Multimodal.mediaFromDocuments(Tables.widened(s, dir, "documents"))))
           .orderBy(col("phash")),
       Some(s"""$mediaCte, fr AS (
           SELECT media_ref, asset, $durSql AS dur FROM meta

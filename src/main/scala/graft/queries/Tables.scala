@@ -39,6 +39,16 @@ object Tables {
     s"$bytes-${mtime / 1000}"
   }
 
+  /** Split counts already measured for a scan, keyed by
+    * path + content fingerprint + session parallelism. Probing a scan's
+    * split count via `df.rdd.getNumPartitions` materializes the physical
+    * RDD — measured ~130 ms of driver time PER CALL (tools/WidenProbe at
+    * sf0.1), a real slice of sub-second entry floors across widened()'s
+    * eleven call sites. The count only changes when the on-disk content
+    * changes, which [[srcTag]] detects at ~7 µs, so first use pays the
+    * probe and every later call is a map hit. */
+  private val splitCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Widen an under-split scan for a NARROW downstream chain: a corpus
     * written as one small parquet file arrives as ONE input split, so a
     * shuffle-free pipeline hung off it (the det parse cascades, the
@@ -55,8 +65,11 @@ object Tables {
     * for columnar scan→agg plans the exchange costs more than the
     * single-threaded vectorized decode saves (measured: widening
     * lineitem made q01 0.4 → 0.7 s warm). */
-  def widened(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  def widened(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df  = t(s, dir, name)
+    val par = s.sparkContext.defaultParallelism
+    val key = s"$dir/$name.parquet@${srcTag(dir, name)}@$par"
+    val n   = splitCounts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    if (n < par) df.repartition(par) else df
   }
 }

@@ -23,7 +23,7 @@ object TextQueries {
     // widened: the explode multiplies rows ~54× BEFORE the first shuffle,
     // so an under-split scan makes the whole map side single-threaded
     // (Tables.widened is a no-op on a properly-split corpus)
-    Tables.widened(Tables.documents(s, dir))
+    Tables.widened(s, dir, "documents")
       .select($"doc_id", posexplode(split($"text", "\\s+")).as(Seq("pos", "word")))
       .select($"doc_id", ($"pos" + 1).cast("bigint").as("tok"), $"word")
   }
