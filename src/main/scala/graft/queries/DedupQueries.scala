@@ -27,16 +27,36 @@ object DedupQueries {
     "es" -> "la", "es" -> "os", "es" -> "as", "es" -> "es", "es" -> "do",
     "fr" -> "le", "fr" -> "re", "fr" -> "nt", "fr" -> "ou", "fr" -> "ai")
 
-  /** doc_id + word-3-gram shingles (ordered). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** doc_id + DISTINCT word-3-gram shingle SET, one array row per doc
+    * with ≥1 shingle.
+    *
+    * This is the NARROW formulation of the shingle pipeline: the 3-grams
+    * are sliced out of the per-doc token array with `transform(sequence)`
+    * and deduped with `array_distinct`, entirely inside the scan's map
+    * side — zero shuffles, where the exploded formulation paid a window
+    * sort (per-doc lead×2), a multiset explode, and a global `distinct`
+    * before the first useful operator. A document's shingle set is
+    * bounded by its text length, so the row stays small at any corpus
+    * scale (the per-DOC work is identical at 100 TB; only doc COUNT
+    * grows, and that parallelizes). Token semantics are exactly
+    * [[TextQueries.tokens]]'s `split(text, '\\s+')`; the DuckDB CTE
+    * keeps the exploded window form, which defines the same set. */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"doc_id").orderBy($"tok")
-    TextQueries.tokens(s, dir)
-      .withColumn("w2", lead($"word", 1).over(w))
-      .withColumn("w3", lead($"word", 2).over(w))
-      .filter($"w3".isNotNull)
-      .select($"doc_id", concat_ws(" ", $"word", $"w2", $"w3").as("shingle"))
+    Tables.widened(s, dir, "documents")
+      .withColumn("ws", split($"text", "\\s+"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", array_distinct(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+      )).as("shset"))
   }
+
+  /** MinHash j as a narrow expression over the shingle-set array: min
+    * over the set of the salted md5 — same value the grouped `MIN` agg
+    * produced, with no shuffle (MIN is duplicate-invariant, so set vs
+    * multiset is immaterial). */
+  private def mhCol(j: Int): Column =
+    expr(s"array_min(transform(shset, x -> md5(cast('$j|' || x AS binary))))")
 
   private val shinglesCte: String =
     s"""${TextQueries.tokensCte}, sh AS (
@@ -47,12 +67,13 @@ object DedupQueries {
         FROM tk) p WHERE w3 IS NOT NULL
     )"""
 
-  /** 8 MinHash values: min over shingles of md5 salted per hash index. */
+  /** 8 MinHash values: min over shingles of md5 salted per hash index.
+    * Computed narrowly per document from the shingle-set array — the
+    * whole signature table is one shuffle-free projection. */
   private def minhashDf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val aggs = (0 until 8).map(j =>
-      min(md5s(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
-    shingles(s, dir).groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val cols = (0 until 8).map(j => mhCol(j).as(s"mh$j"))
+    shingleSets(s, dir).select($"doc_id" +: cols: _*)
   }
 
   private def minhashSelectFor(nHashes: Int): String = {
@@ -79,26 +100,30 @@ object DedupQueries {
       s: SparkSession, dir: String,
       nBands: Int = 8, nRows: Int = 1): DataFrame = {
     import s.implicits._
-    // ONE shingle explode feeds everything: the distinct shingle sets are
-    // persisted once and reused for the minhash signatures (MIN is
-    // duplicate-invariant, so distinct shingles give the identical
-    // signature), the set sizes, and the exact-Jaccard intersection —
-    // previously the minhash pass re-exploded the corpus on its own.
-    val sets = shingles(s, dir).distinct()
+    // ONE narrow shingle-set table feeds everything: the banding keys
+    // (via the per-doc minhash expressions), the set sizes (`size`), and
+    // the exact-Jaccard verification (`array_intersect`). Persisted once;
+    // everything before the band-bucket window is shuffle-free (the r5
+    // formulation paid a window sort + a global distinct + a grouped
+    // minhash agg — three corpus-wide shuffles — before its first
+    // candidate). Shuffles that remain are the ones candidate generation
+    // inherently needs: the bucket-width window + band self-join, the
+    // candidate distinct, and the two pair→set hash joins.
+    val sets = shingleSets(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mhAggs = (0 until nBands * nRows).map(j =>
-      min(md5s(concat(lit(s"$j|"), col("shingle")))).as(s"mh$j"))
-    val mh = sets.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until nBands).map { j =>
+    // one struct per band, exploded in a single pass (no nBands-way
+    // self-union of the signature table)
+    val bandStructs = (0 until nBands).map { j =>
       val key =
-        if (nRows == 1) col(s"mh$j")
+        if (nRows == 1) mhCol(j)
         else md5s(concat_ws("|",
-          (0 until nRows).map(k => col(s"mh${j * nRows + k}")): _*))
-      mh.select($"doc_id", lit(j).as("band"), key.as("bucket"))
+          (0 until nRows).map(k => mhCol(j * nRows + k)): _*))
+      struct(lit(j).as("band"), key.as("bucket"))
     }
     val wB = Window.partitionBy($"band", $"bucket")
-    val banded = bands.reduce(_ unionByName _)
+    val banded = sets
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
       .withColumn("bn", count(lit(1)).over(wB))
       .filter($"bn" <= 100)
       .drop("bn")
@@ -108,19 +133,15 @@ object DedupQueries {
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
       .distinct()
-    val sizes = sets.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sets.select($"doc_id".as("a"), $"shingle"), "a")
-      .join(sets.select($"doc_id".as("b"), $"shingle".as("sh2")), "b")
-      .filter($"shingle" === $"sh2")
-      .groupBy($"a", $"b").agg(count(lit(1)).as("inter"))
+    // exact verification: set intersection as a narrow array op on the
+    // joined pair row — replaces the explode-join-regroup (two wide
+    // joins + an aggregation) of the exploded formulation
     candidates
-      .join(inter, Seq("a", "b"), "left_outer")
-      .na.fill(0L, Seq("inter"))
-      .join(sizes.select($"doc_id".as("a"), $"n".as("na")), "a")
-      .join(sizes.select($"doc_id".as("b"), $"n".as("nb")), "b")
+      .join(sets.select($"doc_id".as("a"), $"shset".as("sa")), "a")
+      .join(sets.select($"doc_id".as("b"), $"shset".as("sb")), "b")
+      .withColumn("inter", size(array_intersect($"sa", $"sb")).cast("bigint"))
       .withColumn("jaccard",
-        round($"inter" / ($"na" + $"nb" - $"inter"), 6))
+        round($"inter" / (size($"sa") + size($"sb") - $"inter"), 6))
       .select($"a", $"b", $"inter", $"jaccard")
   }
 
@@ -191,9 +212,10 @@ object DedupQueries {
     Q(
       // MinHash-LSH near-dup detection: 8 bands of 1 row → candidate pairs
       // sharing any minhash, then exact shingle-set Jaccard verification.
-      // Scale hardening (VERDICT r1 #5 + q22 audit): the minhash table and
-      // the distinct shingle sets feed 2–3 consumers each — persisted once
-      // instead of recomputing the window-shuffle cascade per consumer;
+      // Scale hardening (VERDICT r1 #5 + q22 audit): the narrow per-doc
+      // shingle-set table feeds its three consumers (banding keys, sizes,
+      // exact verify) from one persist — everything before the bucket
+      // window is shuffle-free (see lshJaccardPairs);
       // and buckets holding > 100 docs are skipped as degenerate (a pile
       // of identical docs makes the band self-join quadratic in the
       // bucket — exact-dup clusters belong to q20's hash pass). The cap
