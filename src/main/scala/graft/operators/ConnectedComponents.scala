@@ -34,6 +34,22 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Shuffle width for the fixpoint loops, sized from the MEASURED edge
+    * count (which both loops already track for their convergence
+    * triggers): ~250k edge rows per partition, floored at 1, capped at
+    * 4× the session's parallelism. An iterative loop pays its shuffle's
+    * fixed per-task cost every ROUND, so a 5k-edge graph on 32-wide
+    * default shuffles spends the rounds scheduling empty tasks; a
+    * 10^10-edge graph gets the full width. Recomputed per round as the
+    * star contraction shrinks the edge set. Explicit numPartitions also
+    * pins both sides of each round's agg+join pair to ONE co-partitioned
+    * layout (AQE never coalesces a user-specified width, so the reuse
+    * can't be broken by runtime replanning). */
+  private def widthFor(spark: SparkSession, rows: Long): Int = {
+    val p = math.ceil(rows.toDouble / 250000.0).toLong
+    math.max(1L, math.min(p, spark.sparkContext.defaultParallelism * 4L)).toInt
+  }
+
   /** @param edges DataFrame with two string columns `src`, `dst` (undirected).
     * @param strict fail loudly if the round budget is exhausted before the
     *               labels converge (non-converged labels are silently WRONG
@@ -46,11 +62,20 @@ object ConnectedComponents {
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
           strict: Boolean = true): DataFrame = {
     import spark.implicits._
-    val sym = edges.select($"src", $"dst")
+    // loop-invariant: partition the symmetrized edges by the join key
+    // ONCE, at the width the measured edge count calls for, before the
+    // checkpoint pins the layout — every round's labels⋈sym join then
+    // finds both sides already hash-partitioned on the key at the same
+    // width (labels comes back (node, p)-partitioned from the round's
+    // repartition+groupBy) and inserts no exchange; previously sym was
+    // re-shuffled on src every round at the session default width.
+    val sym0 = edges.select($"src", $"dst")
       .union(edges.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()
+    val p = widthFor(spark, sym0.count())
+    val sym = sym0.repartition(p, $"src").localCheckpoint()
 
     // seed with min(node, direct neighbors): the state after one
     // propagation round of the node-id init, computed inside the same
@@ -88,6 +113,7 @@ object ConnectedComponents {
       }
       val next = labels.select($"node", $"lbl", $"lbl".as("old"))
         .union(prop.withColumn("old", lit(null).cast("string")))
+        .repartition(p, $"node")
         .groupBy($"node").agg(min($"lbl").as("lbl"), max($"old").as("old"))
         .select($"node", bump($"lbl", $"old").as("lbl"))
         .localCheckpoint()
@@ -179,8 +205,19 @@ object ConnectedComponents {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // Each star pass shares ONE exchange between its aggregation and
+      // its join: the adjacency is explicitly hash-partitioned on `u`
+      // at the width the CURRENT edge count calls for (the count is
+      // already tracked for the convergence trigger; the contraction
+      // shrinks the graph round over round), so the groupBy needs no
+      // further shuffle and the subsequent join finds both sides
+      // co-partitioned. Three exchanges per round total (sym, ori,
+      // final dedup) — the naive formulation paid ~six, all at the
+      // session default width regardless of graph size.
+      val p = widthFor(spark, eCount * 2)
       // large-star over the symmetrized adjacency
       val sym = e.select($"u", $"v").union(e.select($"v".as("u"), $"u".as("v")))
+        .repartition(p, $"u")
       val mins = sym.groupBy($"u").agg(min($"v").as("mv"))
         .select($"u", least($"mv", $"u").as("m"))
       // no dedup here: the orientation step aggregates again anyway, and
@@ -188,9 +225,13 @@ object ConnectedComponents {
       val ls = sym.filter($"v" > $"u")
         .join(mins, "u")
         .select($"v".as("u"), $"m".as("v"))
-      // small-star over large→small oriented edges
+      // small-star over large→small oriented edges; duplicate oriented
+      // edges are harmless (MIN is duplicate-invariant, the final
+      // distinct dedups the round's output), so the mid-round dedup
+      // exchange is dropped in favor of the u-partitioning the agg+join
+      // pair reuses
       val ori = ls.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
-        .distinct()
+        .repartition(p, $"u")
       val mins2 = ori.groupBy($"u").agg(min($"v").as("m"))
       // The edge count rides the materialization job (same accumulator
       // pattern as run()), replacing the per-round count() action — but
@@ -207,7 +248,11 @@ object ConnectedComponents {
       val ss = ori.join(mins2, "u")
         .select($"v".as("u"), $"m".as("v"))
         .union(mins2.select($"u", $"m".as("v")))
-        .filter($"u" =!= $"v").distinct()
+        .filter($"u" =!= $"v")
+        // dedup rides an explicit (u, v) exchange at width p: the
+        // aggregate behind dropDuplicates sees the clustering satisfied
+        // and inserts no second, session-default-width shuffle
+        .repartition(p, $"u", $"v").dropDuplicates()
         .select(bump($"u").as("u"), $"v")
         .localCheckpoint()
       converged = cntAcc.value == eCount &&
