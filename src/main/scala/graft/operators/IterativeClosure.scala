@@ -8,18 +8,33 @@ import org.apache.spark.sql.functions._
   * U12: per-sentence HEAD+ walks stay in SentGraph; cross-document
   * closures run here).
   *
-  * Each round is one shuffle (join on parent) + an anti-join against the
-  * already-labeled frontier; rounds = longest path length. Lineage is
-  * truncated every round with localCheckpoint. Skewed hub nodes are
-  * handled by AQE skew-join splitting (enabled in the session).
+  * Each round is one join (edges ⋈ frontier) whose strategy is left to
+  * the optimizer on purpose: a thin frontier broadcasts (the edge side
+  * then never shuffles — the common case, since a BFS level is a small
+  * slice of the graph), a fat one falls back to a shuffle join with AQE
+  * skew-splitting. Forcing a fixed co-partitioned layout here was
+  * measured SLOWER (round 6): it pre-pays a full edge-table exchange to
+  * optimize away per-round shuffles that the broadcast regime never
+  * performs. Rounds = longest path length. In the general DAG regime an
+  * anti-join against the already-labeled set and a min-depth regroup
+  * deduplicate multi-path reaches; for a FOREST (every child has
+  * exactly one parent — CoNLL HEAD columns by construction) each node
+  * is reached exactly once, so `forest = true` skips both. Lineage is
+  * truncated every round with localCheckpoint.
   */
 object IterativeClosure {
 
   /** @param edges  (child, parent) rows — a forest/DAG pointing rootward
     * @param roots  (node) rows with depth 0
+    * @param forest every child has exactly ONE parent (single-HEAD
+    *               trees): BFS reaches each node exactly once, so the
+    *               seen-filter and min-depth regroup are provably no-ops
+    *               and are skipped — the round is just the one join.
+    *               Leave false for general DAGs / multi-parent graphs.
     * @return (node, depth) for every node reachable from a root by
     *         following child←parent edges downward. */
-  def depths(spark: SparkSession, edges: DataFrame, roots: DataFrame, maxIter: Int = 64): DataFrame = {
+  def depths(spark: SparkSession, edges: DataFrame, roots: DataFrame,
+             maxIter: Int = 64, forest: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = edges.select($"child", $"parent").localCheckpoint()
     var labeled = roots.select($"node").distinct()
@@ -32,17 +47,22 @@ object IterativeClosure {
       // job (bump-UDF + eager localCheckpoint) instead of a separate
       // isEmpty action, and `labeled` is NOT re-checkpointed: it is a
       // union of already-checkpointed frontiers, so its lineage stays
-      // shallow (≤ rounds) with no extra job per round — together this
-      // cuts the loop from 3 scheduled jobs per round to 1
+      // shallow (≤ rounds) with no extra job per round. The accumulator
+      // is only the TRIGGER (exact accumulator semantics hold in
+      // actions only): an empty reading is CONFIRMED by isEmpty on the
+      // checkpointed table before the loop exits, so a lost bump can
+      // cost one cheap confirm, never a truncated closure.
       val sizeAcc = spark.sparkContext.longAccumulator(s"bfs_frontier_$i")
       val bump = udf { (n: String) => sizeAcc.add(1); n }
-      val next = e.join(frontier, e("parent") === frontier("node"))
+      val reached = e.join(frontier, e("parent") === frontier("node"))
         .select(e("child").as("node"), (frontier("depth") + 1).as("depth"))
-        .join(labeled.select($"node".as("seen")), $"node" === $"seen", "left_anti")
-        .groupBy($"node").agg(min($"depth").as("depth"))
+      val next = (if (forest) reached
+        else reached
+          .join(labeled.select($"node".as("seen")), $"node" === $"seen", "left_anti")
+          .groupBy($"node").agg(min($"depth").as("depth")))
         .select(bump($"node").as("node"), $"depth")
         .localCheckpoint()
-      if (sizeAcc.value == 0L) done = true
+      if (sizeAcc.value == 0L && next.isEmpty) done = true
       else {
         labeled = labeled.union(next)
         frontier = next

@@ -47,7 +47,8 @@ object GraphQueries {
             $"doc_id", $"tok")
         val edges = tk.filter($"tok" > 1).select($"child", $"parent")
         val roots = tk.filter($"tok" === 1).select($"child".as("node"))
-        IterativeClosure.depths(s, edges, roots)
+        // forest: parent(i) = i/2 gives every token exactly one parent
+        IterativeClosure.depths(s, edges, roots, forest = true)
           .select($"node", $"depth")
           .orderBy($"node")
       },
