@@ -78,18 +78,28 @@ object TsvIngest {
     // a plain directory reads its files (the pre-r5 text-source behavior);
     // a glob expands; zero matches FAIL LOUDLY — a silent empty ingest
     // would let a typo'd path look like a successful zero-doc run.
-    // Hidden files (leading '_' or '.') are excluded like every Spark
-    // file source does (ADVICE r5: pointing ingest at a Spark-written
-    // directory must not ingest _SUCCESS / .crc markers as documents).
+    // Hidden files (leading '_' or '.') are excluded from directory
+    // listings and glob expansions like every Spark file source (ADVICE
+    // r5: a Spark-written dir's _SUCCESS / .crc markers must not ingest
+    // as documents) — but a LITERAL file path names exactly one file the
+    // user chose, so it is taken verbatim, hidden-looking or not, and
+    // any file a glob matched but the filter dropped is logged by name
+    // (a silent partial ingest is the quiet-wrong class the loud
+    // empty/collision guards exist to prevent).
     def hidden(p: org.apache.hadoop.fs.Path): Boolean =
       p.getName.startsWith("_") || p.getName.startsWith(".")
+    val literal = !path.exists(c => "*?[]{}".contains(c))
     val matched = Option(fs.globStatus(hp)).getOrElse(Array.empty)
-    val files = matched.flatMap {
-      case st if st.isDirectory =>
-        fs.listStatus(st.getPath).filter(f => f.isFile && !hidden(f.getPath))
-      case st if st.isFile && !hidden(st.getPath) => Array(st)
+    val (kept, skipped) = matched.flatMap {
+      case st if st.isDirectory => fs.listStatus(st.getPath).filter(_.isFile)
+      case st if st.isFile => Array(st)
       case _ => Array.empty[org.apache.hadoop.fs.FileStatus]
-    }.map(_.getPath.toUri.toString)
+    }.partition(f => (literal && matched.exists(m => m.isFile && m.getPath == f.getPath)) || !hidden(f.getPath))
+    if (skipped.nonEmpty)
+      System.err.println(s"[ingest] skipping ${skipped.length} hidden file(s) under $path: " +
+        skipped.take(5).map(_.getPath.getName).mkString(", ") +
+        (if (skipped.length > 5) ", ..." else ""))
+    val files = kept.map(_.getPath.toUri.toString)
     if (files.isEmpty)
       throw new java.io.FileNotFoundException(s"no input files match: $path")
     // docIdOf strips the serialization suffixes, so files differing ONLY

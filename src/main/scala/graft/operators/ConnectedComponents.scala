@@ -111,12 +111,19 @@ object ConnectedComponents {
         if (o == null || l != o) changedAcc.add(1)
         l
       }
-      val next = labels.select($"node", $"lbl", $"lbl".as("old"))
+      // the bump rides a THROWAWAY string column (dropped after the
+      // checkpoint materializes it) so the label column itself never
+      // passes through the String-typed UDF: a bigint label would
+      // otherwise be silently cast to string and the next round's MIN
+      // would turn lexicographic (review r6) — labels keep their exact
+      // input type end-to-end
+      val next = labels.select($"node", $"lbl", $"lbl".cast("string").as("old"))
         .union(prop.withColumn("old", lit(null).cast("string")))
         .repartition(p, $"node")
         .groupBy($"node").agg(min($"lbl").as("lbl"), max($"old").as("old"))
-        .select($"node", bump($"lbl", $"old").as("lbl"))
+        .select($"node", $"lbl", bump($"lbl".cast("string"), $"old").as("_t"))
         .localCheckpoint()
+        .drop("_t")
       converged = changedAcc.value == 0 &&
         next.join(prev, Seq("node", "lbl"), "left_anti").isEmpty
       labels = next
@@ -251,10 +258,14 @@ object ConnectedComponents {
         .filter($"u" =!= $"v")
         // dedup rides an explicit (u, v) exchange at width p: the
         // aggregate behind dropDuplicates sees the clustering satisfied
-        // and inserts no second, session-default-width shuffle
+        // and inserts no second, session-default-width shuffle. The
+        // bump rides a throwaway string column (dropped post-
+        // materialization) so u keeps its exact input type — the
+        // String UDF must never coerce a numeric key (review r6)
         .repartition(p, $"u", $"v").dropDuplicates()
-        .select(bump($"u").as("u"), $"v")
+        .select($"u", $"v", bump($"u".cast("string")).as("_t"))
         .localCheckpoint()
+        .drop("_t")
       converged = cntAcc.value == eCount &&
         ss.join(e, Seq("u", "v"), "left_anti").isEmpty &&
         e.join(ss, Seq("u", "v"), "left_anti").isEmpty

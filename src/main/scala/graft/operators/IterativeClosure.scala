@@ -37,6 +37,17 @@ object IterativeClosure {
              maxIter: Int = 64, forest: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = edges.select($"child", $"parent").localCheckpoint()
+    // the forest contract is load-bearing (it justifies skipping the
+    // seen-filter, and a multi-parent child would re-enter the frontier
+    // every round as silently duplicated rows) — verify it against the
+    // checkpointed edges, once per call, same discipline as
+    // ConnectedComponents.assertComponentLabels
+    if (forest) {
+      val multi = e.groupBy($"child").count().filter($"count" > 1)
+      require(multi.isEmpty,
+        "forest=true but a child has multiple parents — use forest=false " +
+          "for DAG/multi-parent inputs")
+    }
     var labeled = roots.select($"node").distinct()
       .withColumn("depth", lit(0)).localCheckpoint()
     var frontier = labeled
@@ -56,12 +67,16 @@ object IterativeClosure {
       val bump = udf { (n: String) => sizeAcc.add(1); n }
       val reached = e.join(frontier, e("parent") === frontier("node"))
         .select(e("child").as("node"), (frontier("depth") + 1).as("depth"))
+      // the bump rides a throwaway string column (dropped after the
+      // checkpoint materializes it) so node ids keep their exact input
+      // type — the String-typed UDF must never coerce a numeric key
       val next = (if (forest) reached
         else reached
           .join(labeled.select($"node".as("seen")), $"node" === $"seen", "left_anti")
           .groupBy($"node").agg(min($"depth").as("depth")))
-        .select(bump($"node").as("node"), $"depth")
+        .select($"node", $"depth", bump($"node".cast("string")).as("_t"))
         .localCheckpoint()
+        .drop("_t")
       if (sizeAcc.value == 0L && next.isEmpty) done = true
       else {
         labeled = labeled.union(next)
@@ -69,6 +84,14 @@ object IterativeClosure {
       }
       i += 1
     }
+    // a truncated closure (budget exhausted with a non-empty frontier)
+    // would silently omit every node deeper than maxIter — fail loudly
+    // like the ConnectedComponents loops (64 levels covers any real
+    // HEAD-tree; hitting the cap means a cycle reached from a root or a
+    // mis-set budget, not a big corpus)
+    require(done,
+      s"BFS closure did not drain the frontier in $maxIter rounds — " +
+        "path length exceeds the budget (or a root-reachable cycle)")
     labeled
   }
 }

@@ -36,7 +36,9 @@ object Tables {
           case ((s, m), (s2, m2)) => (s + s2, math.max(m, m2))
         }
     val (bytes, mtime) = walk(new java.io.File(s"$dir/$name.parquet"))
-    s"$bytes-${mtime / 1000}"
+    // millisecond mtime: a deterministic generator can regenerate a
+    // same-sized table within one wall-clock second (review r6)
+    s"$bytes-$mtime"
   }
 
   /** Split counts already measured for a scan, keyed by
@@ -68,7 +70,11 @@ object Tables {
   def widened(s: SparkSession, dir: String, name: String): DataFrame = {
     val df  = t(s, dir, name)
     val par = s.sparkContext.defaultParallelism
-    val key = s"$dir/$name.parquet@${srcTag(dir, name)}@$par"
+    // the split-size config participates in the key: two sessions with
+    // equal parallelism but different maxPartitionBytes split the same
+    // file differently (review r6)
+    val mpb = s.conf.get("spark.sql.files.maxPartitionBytes")
+    val key = s"$dir/$name.parquet@${srcTag(dir, name)}@$par@$mpb"
     val n   = splitCounts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
     if (n < par) df.repartition(par) else df
   }

@@ -67,9 +67,12 @@ object LshProbe {
     def t(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
+      val secs = (System.nanoTime() - t0) / 1e9
+      // cache teardown OUTSIDE the timed region: the old formulation
+      // holds two persists to the new one's single, so timing the clear
+      // would bias the A/B in the rewrite's favor (review r6)
       spark.sharedState.cacheManager.clearCache()
-      System.err.println(
-        f"[lsh] $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s  ($n rows)")
+      System.err.println(f"[lsh] $label%-12s $secs%6.2f s  ($n rows)")
     }
 
     (1 to 4).foreach { k =>

@@ -202,7 +202,10 @@ object ScaleSweep {
   }
 
   def main(args: Array[String]): Unit = {
-    val out = if (args.nonEmpty) args(0) else "/tmp/scale_sweep.json"
+    // flags are not paths: `ScaleSweep --decade4` must not write its
+    // JSON to a file named "--decade4" (review r6)
+    val out = args.filterNot(_.startsWith("--"))
+      .headOption.getOrElse("/tmp/scale_sweep.json")
     // v-tag: bump when the generator changes (v2: floorMod hash) so a
     // stale /tmp corpus can never satisfy the _SUCCESS check
     val dirA = "/tmp/graft-scale-1x-v2"
@@ -215,6 +218,11 @@ object ScaleSweep {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
+      // the state probes read peak state from recentProgress, whose
+      // buffer holds only the last N updates (default 100) — the 50k
+      // probes run ~100 one-file batches, so the default would silently
+      // truncate the window the peak is computed over (review r6)
+      .config("spark.sql.streaming.numRecentProgressUpdates", "2000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     generate(spark, dirA, nA)
