@@ -141,6 +141,26 @@ class TsvIngestSpec extends AnyFunSuite {
     }
   }
 
+  test("a LITERAL path to a hidden-named file is ingested verbatim") {
+    // review r6: the hidden filter guards directory/glob EXPANSION; a
+    // literal path names exactly one file the user chose — dropping it
+    // silently would be a partial ingest with no signal
+    val spark = graft.TestSpark.spark
+    val outDir = new java.io.File("/tmp/graft-tsvingest-literal")
+    org.apache.commons.io.FileUtils.deleteQuietly(outDir)
+    outDir.mkdirs()
+    val f = new java.io.File(outDir, "_draft.conllu")
+    val os = new java.io.FileOutputStream(f)
+    try os.write("1\tword\tX\n".getBytes("UTF-8")) finally os.close()
+    val docs = TsvIngest.readFiles(spark, f.getAbsolutePath).collect()
+    assert(docs.map(_.doc_id).toSeq == Seq("_draft"))
+    // ...but the same file via GLOB expansion is filtered (Spark file-
+    // source semantics), and an all-hidden match set stays loud
+    intercept[java.io.FileNotFoundException] {
+      TsvIngest.readFiles(spark, s"${outDir.getAbsolutePath}/*.conllu")
+    }
+  }
+
   test("files differing only by serialization suffix fail loudly, not merge") {
     // ADVICE r5: a.conll + a.tsv both map to doc_id "a" — two DISTINCT
     // documents silently merged under one id is the quiet-wrong outcome;
