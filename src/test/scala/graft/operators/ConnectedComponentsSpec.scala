@@ -24,6 +24,57 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("both variants equal a union-find reference across 25 random graph shapes") {
+    // independent oracle (driver-side union-find, no Spark), swept over
+    // density regimes from near-forest to dense multigraph and over
+    // numeric-string ids — the component label must be the minimum node
+    // id in every component, exactly
+    def unionFind(nodes: Set[String], edges: Seq[(String, String)]): Map[String, String] = {
+      val parent = scala.collection.mutable.Map(nodes.map(x => x -> x).toSeq: _*)
+      def find(x: String): String = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+      }
+      // roots are not yet guaranteed minimal — normalize per component
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, ns) => val m = ns.min; ns.map(_ -> m) }.toMap
+    }
+    for (seed <- 1 to 25) {
+      val rnd = new scala.util.Random(seed)
+      val nNodes = 10 + rnd.nextInt(70)
+      val nEdges = 1 + rnd.nextInt(3 * nNodes)
+      val raw = Seq.fill(nEdges)((n(rnd.nextInt(nNodes)), n(rnd.nextInt(nNodes))))
+        .filter { case (a, b) => a != b }
+      if (raw.nonEmpty) {
+        val expected = unionFind(raw.flatMap(e => Seq(e._1, e._2)).toSet, raw)
+        val df = raw.toDF("src", "dst")
+        assert(labelsOf(ConnectedComponents.run(spark, df)) == expected,
+          s"run() != union-find at seed $seed")
+        assert(labelsOf(ConnectedComponents.runStar(spark, df)) == expected,
+          s"runStar() != union-find at seed $seed")
+      }
+    }
+  }
+
+  test("bigint node ids keep numeric MIN semantics through both variants") {
+    // review r6: the trigger UDF must never coerce the label column to
+    // string — {9, 29, 1009} in one component must resolve to 9, not
+    // the lexicographic minimum "1009"
+    val edges = Seq((9L, 29L), (29L, 1009L), (7L, 1009L)).toDF("src", "dst")
+    val exp = Map(7L -> 7L, 9L -> 7L, 29L -> 7L, 1009L -> 7L)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    assert(m(ConnectedComponents.run(spark, edges)) == exp)
+    assert(m(ConnectedComponents.runStar(spark, edges)) == exp)
+  }
+
   test("runStar == run on bucket stars (the gazetteer evidence shape)") {
     val edges = (0 until 4).flatMap { b =>
       (1 until 6).map(i => (n(b * 10), n(b * 10 + i)))
