@@ -182,6 +182,80 @@ object CurationQueries {
         FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         WHERE NOT (d.doc_id % 20 = 0 AND d.doc_id < 2000)
         ORDER BY d.doc_id""")
+    ),
+    Q(
+      // URL canonicalization + dedup — the web-curation step that runs
+      // BEFORE content dedup at corpus scale (a crawl carries the same
+      // page under scheme/case/query/fragment/trailing-slash variants).
+      // The synthetic URL is constructed deterministically from
+      // (source, doc_id) identically on both sides; the OPERATOR under
+      // test is the normalization: strip query+fragment, lowercase the
+      // scheme://host prefix (path case preserved — URL paths are
+      // case-sensitive), strip one trailing slash; then one hash-groupBy
+      // on the canonical form (min doc_id = survivor). No backreference
+      // replacements — Java ($1) and RE2 (\1) disagree, so the prefix
+      // is extracted and re-concatenated instead.
+      "q46_url_canonical",
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("url",
+            concat(lit("HTTPS://"), upper($"source"), lit(".Example.COM/p/"),
+              pmod($"doc_id", lit(40)), lit("/?utm=feed&id="), $"doc_id", lit("#top")))
+          .withColumn("noq", regexp_replace($"url", "[?#].*$", ""))
+          .withColumn("sh", regexp_extract($"noq", "^[^/]*//[^/]*", 0))
+          .withColumn("canonical_url",
+            concat(lower($"sh"),
+              regexp_replace(expr("substring(noq, length(sh) + 1)"), "/$", "")))
+          .groupBy($"canonical_url")
+          .agg(count(lit(1)).as("n_dups"), min($"doc_id").as("survivor"))
+          .orderBy($"canonical_url")
+      },
+      Some("""WITH u AS (
+          SELECT doc_id,
+            'HTTPS://' || upper(source) || '.Example.COM/p/' || (doc_id % 40)
+              || '/?utm=feed&id=' || doc_id || '#top' AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id, noq, sh,
+            lower(sh) || regexp_replace(substring(noq, length(sh) + 1), '/$', '') AS canonical_url
+          FROM (SELECT doc_id, noq, regexp_extract(noq, '^[^/]*//[^/]*') AS sh
+                FROM (SELECT doc_id, regexp_replace(url, '[?#].*$', '') AS noq FROM u) q) p)
+        SELECT canonical_url, COUNT(*) AS n_dups, MIN(doc_id) AS survivor
+        FROM c GROUP BY canonical_url ORDER BY canonical_url""")
+    ),
+    Q(
+      // Corpus-level boilerplate detection: 5-grams that appear in ≥ 3
+      // DISTINCT documents (navigation chrome, license footers, cookie
+      // banners at web scale). One narrow per-doc gram slice
+      // (transform + array_distinct, zero shuffles — the q21/q22 shape)
+      // feeding ONE map-side-combinable count; document frequency, not
+      // term frequency, is the boilerplate signal, so the per-doc dedup
+      // happens inside the array before the explode ever widens.
+      "q47_ngram_boilerplate",
+      (s, dir) => {
+        import s.implicits._
+        Tables.widened(s, dir, "documents")
+          .withColumn("ws", split($"text", "\\s+"))
+          .filter(size($"ws") >= 5)
+          .select($"doc_id", explode(array_distinct(expr(
+            "transform(sequence(0, size(ws)-5), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))"
+          ))).as("gram"))
+          .groupBy($"gram").agg(count(lit(1)).as("n_docs"))
+          .filter($"n_docs" >= 3)
+          .orderBy($"n_docs".desc, $"gram")
+      },
+      Some(s"""${TextQueries.tokensCte}, g5 AS (
+          SELECT DISTINCT doc_id,
+            word || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS gram
+          FROM (SELECT doc_id, word,
+                  lead(word, 1) OVER w AS w2, lead(word, 2) OVER w AS w3,
+                  lead(word, 3) OVER w AS w4, lead(word, 4) OVER w AS w5
+                FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY tok)) p
+          WHERE w5 IS NOT NULL)
+        SELECT gram, COUNT(*) AS n_docs FROM g5
+        GROUP BY gram HAVING COUNT(*) >= 3
+        ORDER BY n_docs DESC, gram""")
     )
   )
 }
