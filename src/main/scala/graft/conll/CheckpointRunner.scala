@@ -63,7 +63,21 @@ object CheckpointRunner {
     spark.read.parquet((0 until nBuckets).map(b => s"$outDir/bucket=$b"): _*)
   }
 
-  /** The lineage table reconstructed from the manifest markers. */
-  def lineage(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.json(s"$outDir/_manifest/bucket-*.json")
+  /** The lineage table reconstructed from the manifest markers.
+    *
+    * Markers are read driver-side: they are O(nBuckets) tiny JSON files of
+    * job metadata (the same order as any manifest read), and the `_manifest`
+    * directory is deliberately underscore-hidden so Spark's file index skips
+    * it — a glob-based `spark.read.json` would refuse the path outright.
+    */
+  def lineage(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(outDir, "_manifest")
+    val lines = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.matches("bucket-\\d+\\.json"))
+      .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+      .toSeq
+    spark.read.json(spark.createDataset(lines))
+  }
 }

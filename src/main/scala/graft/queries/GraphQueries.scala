@@ -299,6 +299,85 @@ object GraphQueries {
       Some("""SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source) AS component
         FROM documents QUALIFY COUNT(*) OVER (PARTITION BY source) >= 2
         ORDER BY doc_id""")
+    ),
+    Q(
+      // PageRank-style entity importance over the KG link graph — the
+      // canonical "which entities matter" signal a KG-construction
+      // pipeline computes after triple extraction (seed selection,
+      // gazetteer priority, display ranking). The link graph is
+      // synthesized deterministically from the documents table (no
+      // external data): doc u emits 1 + u % 3 citation edges to
+      // u·(7+b) mod (max_id+1), a skewed multiplicative scatter (in- and
+      // out-degrees vary, so the ranks are non-uniform). All arithmetic
+      // is INTEGER-scaled (rank ×10^6, damping 0.85 as ·85 // 100,
+      // per-edge contribution as rank // outdeg) so five fixed rounds
+      // are bit-reproducible in both engines — float PageRank would
+      // diverge in low bits between Spark's partial aggregation and
+      // DuckDB's single-thread sums (the q32/DecimalDot lesson).
+      // Scale shape: the degree table is folded into the adjacency ONCE
+      // before the loop; each round is one co-partitioned ranks⋈adj join
+      // (both sides hash-partitioned on the sender) + one groupBy on the
+      // receiver + a left join back to the node set — the same
+      // shuffle-per-round discipline as ConnectedComponents, lineage
+      // truncated per round. Rounds are FIXED (5), not convergence-
+      // driven: rank queries tolerate approximation, so production runs
+      // budget rounds up front and skip the fixpoint machinery entirely.
+      "q48_pagerank",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).select($"doc_id")
+        // single-row bounded action: the modulus of the scatter
+        val m = docs.agg(max($"doc_id")).head().getLong(0) + 1L
+        val edges = docs
+          .select($"doc_id".as("src"),
+            explode(expr("sequence(bigint(1), bigint(1 + doc_id % 3))")).as("b"))
+          .select($"src", pmod($"src" * (lit(7L) + $"b"), lit(m)).as("dst"))
+          .filter($"src" =!= $"dst").distinct()
+          .localCheckpoint()
+        val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
+        // degree folded into the adjacency once — the loop never re-joins it
+        val adj = edges.join(deg, "src").localCheckpoint()
+        val nodes = edges.select($"src".as("node"))
+          .union(edges.select($"dst".as("node")))
+          .distinct().localCheckpoint()
+        var pr = nodes.select($"node", lit(1000000L).as("pr"))
+        for (_ <- 1 to 5) {
+          val c = pr.join(adj, pr("node") === adj("src"))
+            .select(adj("dst").as("node"), expr("pr div d").as("contrib"))
+            .groupBy($"node").agg(sum($"contrib").as("c"))
+          pr = nodes.join(c, Seq("node"), "left_outer")
+            .select($"node",
+              (lit(150000L) + expr("(coalesce(c, bigint(0)) * 85) div 100")).as("pr"))
+            .localCheckpoint()
+        }
+        pr.orderBy($"pr".desc, $"node")
+      },
+      Some {
+        val rounds = (1 to 5).map { k =>
+          s"""r$k AS (
+          SELECT n.node,
+            CAST(150000 + (COALESCE(s.c, 0) * 85) // 100 AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, CAST(SUM(r.pr // e.d) AS BIGINT) AS c
+            FROM r${k - 1} r JOIN adj e ON e.src = r.node
+            GROUP BY e.dst) s ON s.dst = n.node)"""
+        }.mkString(",\n        ")
+        s"""WITH mx AS MATERIALIZED (SELECT MAX(doc_id) + 1 AS m FROM documents),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT doc_id AS src, (doc_id * (7 + b)) % m AS dst
+            FROM (SELECT doc_id, UNNEST(range(1, 2 + doc_id % 3)) AS b
+                  FROM documents), mx) t
+          WHERE src <> dst),
+        deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
+        adj AS MATERIALIZED (
+          SELECT e0.src, e0.dst, deg.d FROM e0 JOIN deg ON deg.src = e0.src),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0) u),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+        $rounds
+        SELECT node, pr FROM r5 ORDER BY pr DESC, node"""
+      }
     )
   )
 }

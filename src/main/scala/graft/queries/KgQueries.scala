@@ -518,6 +518,51 @@ object KgQueries {
           .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },
       Some(KgOracle.analyzeSql)
+    ),
+    Q(
+      // Checkpoint-resume driver-gated end-to-end (north_rule: "resumable
+      // from checkpoint with per-partition lineage + metrics"; was
+      // suite-only in PipelineSpec): each run RE-ENACTS a two-mode crash
+      // — a full bucketed run, then bucket 1 loses output AND marker
+      // (never completed) and bucket 3 loses only its marker (died
+      // between parquet commit and marker write) — and the resumed run
+      // must complete exactly the missing work. The assembled output is
+      // hash-equal to kg_pipeline_analyze (same det corpus, same
+      // cascade, same oracle), and the lineage manifest is verified
+      // in-path: 4/4 buckets done, recorded row counts summing to the
+      // output. No /tmp fixture cache on purpose — the crash/resume
+      // cycle IS the operator under test, so it runs fresh every time.
+      // Reference contract: CoNLLRDFUpdater's restartable batch runs
+      // (the reference re-runs whole files; bucket-granular markers are
+      // the 10^12-doc equivalent — blast radius 1/nBuckets, not 1 job).
+      "kg_checkpoint_resume",
+      (s, dir) => {
+        import org.apache.commons.io.FileUtils
+        val base = new java.io.File(
+          s"/tmp/graft-ckpt-gate-${new java.io.File(dir).getName}")
+        FileUtils.deleteQuietly(base)
+        val docs = KgOracle.detDocs(s, dir)
+        val out = base.getAbsolutePath
+        CheckpointRunner.run(s, docs, KgOracle.detCols,
+          Pipeline.analyzeCascade, out, nBuckets = 4)
+        // crash mode 1: bucket never completed (output + marker gone)
+        FileUtils.deleteQuietly(new java.io.File(base, "bucket=1"))
+        FileUtils.deleteQuietly(new java.io.File(base, "_manifest/bucket-1.json"))
+        // crash mode 2: died between parquet commit and marker write —
+        // the bucket must safely re-run (writes are overwrite-idempotent)
+        FileUtils.deleteQuietly(new java.io.File(base, "_manifest/bucket-3.json"))
+        val resumed = CheckpointRunner.run(s, docs, KgOracle.detCols,
+          Pipeline.analyzeCascade, out, nBuckets = 4)
+        val lin = CheckpointRunner.lineage(s, out)
+        require(lin.filter(col("status") === "done").count() == 4,
+          "checkpoint resume left incomplete buckets in the lineage manifest")
+        val linRows = lin.agg(sum(col("rows"))).head().getLong(0)
+        val outRows = resumed.count()
+        require(linRows == outRows,
+          s"lineage row counts ($linRows) disagree with assembled output ($outRows)")
+        resumed.orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
+      },
+      Some(KgOracle.analyzeSql)
     )
   )
 }

@@ -13,7 +13,7 @@ class EntrySpec extends AnyFunSuite {
   test("oracleSql keys ⊆ queries keys; names unique") {
     val q = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(q.keySet))
-    assert(q.size == 78, s"expected 78 registry entries, got ${q.size}")
+    assert(q.size == 80, s"expected 80 registry entries, got ${q.size}")
     // round-3 gate: EVERY registry entry is oracle-backed (the last two
     // rows-only paths — SR parse, brackets roundtrip — got det oracles)
     assert(SparkEntry.oracleSql.keySet == q.keySet)
