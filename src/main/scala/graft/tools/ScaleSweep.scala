@@ -78,7 +78,8 @@ object ScaleSweep {
     "q30_tree_depth", "q31_ann_ivf", "q32_embed_neardup",
     "kg_pipeline_parse", "kg_pipeline_link", "kg_entity_canonical",
     "kg_eval_possynt", "kg_brackets_spanuri", "kg_tenten",
-    "q44_langid_bigram", "kg_file_ingest", "kg_stream_analyze")
+    "q44_langid_bigram", "kg_file_ingest", "kg_stream_analyze",
+    "q48_pagerank")
 
   /** One wave-tagged span fragment (flattened for a partitionBy write:
     * the wave becomes the partition dir, the rest is the SpanFrag). */
@@ -241,7 +242,11 @@ object ScaleSweep {
       }.min
     }
 
-    val rows = entries.map { name =>
+    // --only=a,b scopes a dev run to named entries (and skips the
+    // streaming-state probes); the official artifact never sets it
+    val only = args.collectFirst { case a if a.startsWith("--only=") =>
+      a.stripPrefix("--only=").split(",").toSet }
+    val rows = entries.filter(n => only.forall(_.contains(n))).map { name =>
       val tA = time(name, dirA)
       val tB = time(name, dirB)
       System.err.println(f"[scale] $name%-22s ${tA}%6.2f s -> ${tB}%6.2f s  ratio ${tB / tA}%5.2f")
@@ -256,17 +261,18 @@ object ScaleSweep {
     def stateJson(tag: String, r: (Long, Long, Double, Int, Double)): String =
       f""""$tag":{"peak_state_rows":${r._1},"peak_state_bytes":${r._2},""" +
         f""""mean_batch_ms":${r._3}%.1f,"batches":${r._4},"total_s":${r._5}%.2f}"""
-    val asmA = assembleStateProbe(spark, dirA, nWaves = 10, tag = "5k")
-    val asmB = assembleStateProbe(spark, dirB, nWaves = 100, tag = "50k")
-    System.err.println(s"[scale] assemble state 5k: $asmA  50k: $asmB")
-    val winA = windowStateProbe(spark, nEvents = 50000L, nFiles = 12, tag = "5k")
-    val winB = windowStateProbe(spark, nEvents = 500000L, nFiles = 120, tag = "50k")
-    System.err.println(s"[scale] window state 5k: $winA  50k: $winB")
-    val streamingJson =
+    val streamingJson = if (only.nonEmpty) "\"streaming_state\":null" else {
+      val asmA = assembleStateProbe(spark, dirA, nWaves = 10, tag = "5k")
+      val asmB = assembleStateProbe(spark, dirB, nWaves = 100, tag = "50k")
+      System.err.println(s"[scale] assemble state 5k: $asmA  50k: $asmB")
+      val winA = windowStateProbe(spark, nEvents = 50000L, nFiles = 12, tag = "5k")
+      val winB = windowStateProbe(spark, nEvents = 500000L, nFiles = 120, tag = "50k")
+      System.err.println(s"[scale] window state 5k: $winA  50k: $winB")
       s""""streaming_state":{${stateJson("assemble_5k", asmA)},${stateJson("assemble_50k", asmB)},""" +
         s"""${stateJson("window_5k", winA)},${stateJson("window_50k", winB)},""" +
         f""""assemble_state_ratio":${asmB._1.toDouble / math.max(1, asmA._1)}%.3f,""" +
         f""""window_state_ratio":${winB._1.toDouble / math.max(1, winA._1)}%.3f}"""
+    }
 
     // fourth decade (VERDICT r5 #6), opt-in: 500k docs for the iterative-
     // round entries whose 10× ratios were the sweep's worst — confirms
