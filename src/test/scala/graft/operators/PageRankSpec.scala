@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** q48_pagerank against an independent driver-side reference (no Spark,
+  * no SQL): the same synthesized citation graph and the same
+  * integer-scaled 5-round iteration computed with plain Long arithmetic.
+  * Bit-exactness across partition counts is the entry's whole design
+  * claim (float PageRank would diverge between partial-aggregation
+  * orders), so the spec also re-runs the entry under a different
+  * shuffle width and asserts byte-identical ranks.
+  */
+class PageRankSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val nDocs = 60L
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("pagerank-spec").toString
+    (0L until nDocs).toDF("doc_id")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  /** Plain-Scala mirror of the entry's graph synthesis + iteration. */
+  private def reference: Map[Long, Long] = {
+    val m = nDocs // max(doc_id) + 1
+    val edges = (for {
+      u <- 0L until nDocs
+      b <- 1L to (1L + u % 3L)
+      dst = java.lang.Math.floorMod(u * (7L + b), m)
+      if dst != u
+    } yield (u, dst)).distinct
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var pr = nodes.map(n => n -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .map { case (src, dst) => dst -> pr(src) / deg(src) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      pr = nodes.map(n => n -> (150000L + contrib.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    pr
+  }
+
+  private def runEntry(): Seq[(Long, Long)] =
+    graft.SparkEntry.queries("q48_pagerank")(spark, dir)
+      .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+
+  test("entry ranks equal the driver-side integer reference") {
+    val got = runEntry()
+    val want = reference
+    assert(got.map(_._1).toSet == want.keySet, "node set mismatch")
+    got.foreach { case (node, pr) =>
+      assert(pr == want(node), s"rank mismatch at node $node")
+    }
+    // and the ordering contract: pr desc, node asc tiebreak
+    assert(got == got.sortBy { case (node, pr) => (-pr, node) })
+  }
+
+  test("ranks are byte-identical across shuffle widths") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = runEntry()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      assert(runEntry() == a, "partition count changed the ranks")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
