@@ -74,10 +74,13 @@ object CheckpointRunner {
     import spark.implicits._
     import scala.jdk.CollectionConverters._
     val dir = Paths.get(outDir, "_manifest")
-    val lines = Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.matches("bucket-\\d+\\.json"))
-      .map(p => new String(Files.readAllBytes(p), "UTF-8"))
-      .toSeq
+    val st = Files.list(dir)
+    val lines =
+      try st.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("bucket-\\d+\\.json"))
+        .map(p => new String(Files.readAllBytes(p), "UTF-8"))
+        .toSeq
+      finally st.close()
     spark.read.json(spark.createDataset(lines))
   }
 }

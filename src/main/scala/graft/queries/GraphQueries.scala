@@ -326,8 +326,14 @@ object GraphQueries {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir).select($"doc_id")
-        // single-row bounded action: the modulus of the scatter
-        val m = docs.agg(max($"doc_id")).head().getLong(0) + 1L
+        // single-row bounded action: the modulus of the scatter. MAX over
+        // zero rows is NULL — degrade to the oracle's empty relation
+        // instead of an NPE on getLong
+        val mRow = docs.agg(max($"doc_id")).head()
+        if (mRow.isNullAt(0))
+          docs.select($"doc_id".as("node"), $"doc_id".as("pr"))
+        else {
+        val m = mRow.getLong(0) + 1L
         val edges = docs
           .select($"doc_id".as("src"),
             explode(expr("sequence(bigint(1), bigint(1 + doc_id % 3))")).as("b"))
@@ -351,6 +357,7 @@ object GraphQueries {
             .localCheckpoint()
         }
         pr.orderBy($"pr".desc, $"node")
+        }
       },
       Some {
         val rounds = (1 to 5).map { k =>

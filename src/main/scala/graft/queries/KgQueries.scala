@@ -538,13 +538,17 @@ object KgQueries {
       "kg_checkpoint_resume",
       (s, dir) => {
         import org.apache.commons.io.FileUtils
+        val nBuckets = 4
         val base = new java.io.File(
           s"/tmp/graft-ckpt-gate-${new java.io.File(dir).getName}")
+        // cleanup is at entry START, not end: the returned DataFrame
+        // lazily reads the bucket parquet files, so they must outlive
+        // this closure (the next run of the same SF reclaims them)
         FileUtils.deleteQuietly(base)
         val docs = KgOracle.detDocs(s, dir)
         val out = base.getAbsolutePath
         CheckpointRunner.run(s, docs, KgOracle.detCols,
-          Pipeline.analyzeCascade, out, nBuckets = 4)
+          Pipeline.analyzeCascade, out, nBuckets)
         // crash mode 1: bucket never completed (output + marker gone)
         FileUtils.deleteQuietly(new java.io.File(base, "bucket=1"))
         FileUtils.deleteQuietly(new java.io.File(base, "_manifest/bucket-1.json"))
@@ -552,9 +556,9 @@ object KgQueries {
         // the bucket must safely re-run (writes are overwrite-idempotent)
         FileUtils.deleteQuietly(new java.io.File(base, "_manifest/bucket-3.json"))
         val resumed = CheckpointRunner.run(s, docs, KgOracle.detCols,
-          Pipeline.analyzeCascade, out, nBuckets = 4)
+          Pipeline.analyzeCascade, out, nBuckets)
         val lin = CheckpointRunner.lineage(s, out)
-        require(lin.filter(col("status") === "done").count() == 4,
+        require(lin.filter(col("status") === "done").count() == nBuckets,
           "checkpoint resume left incomplete buckets in the lineage manifest")
         val linRows = lin.agg(sum(col("rows"))).head().getLong(0)
         val outRows = resumed.count()

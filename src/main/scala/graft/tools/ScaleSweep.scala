@@ -246,6 +246,12 @@ object ScaleSweep {
     // streaming-state probes); the official artifact never sets it
     val only = args.collectFirst { case a if a.startsWith("--only=") =>
       a.stripPrefix("--only=").split(",").toSet }
+    only.foreach { names =>
+      val unknown = names -- entries.toSet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"--only names not in the sweep's entry list: ${unknown.mkString(",")}" +
+          " — a typo here would write an artifact that measured nothing")
+    }
     val rows = entries.filter(n => only.forall(_.contains(n))).map { name =>
       val tA = time(name, dirA)
       val tB = time(name, dirB)
