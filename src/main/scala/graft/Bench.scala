@@ -244,8 +244,12 @@ object Bench {
     // arrived unparseable (VERDICT r5 #3).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/tmp/bench_final.json"), json + "\n")
+    // gate the committed-artifact copy on a repo marker, not bare docs/
+    // existence — run from another project root this would otherwise drop
+    // the JSON into an unrelated docs folder (ADVICE r6)
     val docsCopy = new java.io.File("docs")
-    if (docsCopy.isDirectory)
+    if (docsCopy.isDirectory && new java.io.File("build.sbt").isFile &&
+        new java.io.File("src/main/scala/graft").isDirectory)
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("docs/bench_full_latest.json"), json + "\n")
     // stdout (unwrapped via run/outputStrategy := StdoutOutput) gets a

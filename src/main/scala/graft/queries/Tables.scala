@@ -70,11 +70,18 @@ object Tables {
   def widened(s: SparkSession, dir: String, name: String): DataFrame = {
     val df  = t(s, dir, name)
     val par = s.sparkContext.defaultParallelism
-    // the split-size config participates in the key: two sessions with
-    // equal parallelism but different maxPartitionBytes split the same
-    // file differently (review r6)
-    val mpb = s.conf.get("spark.sql.files.maxPartitionBytes")
-    val key = s"$dir/$name.parquet@${srcTag(dir, name)}@$par@$mpb"
+    // every split-affecting config participates in the key: two sessions
+    // with equal parallelism but different file-split configs split the
+    // same file differently (review r6; ADVICE r6 added the open-cost and
+    // min-partition knobs — a mid-process change of any of these must
+    // invalidate the cached count, not reuse it)
+    val splitConf = Seq(
+      "spark.sql.files.maxPartitionBytes",
+      "spark.sql.files.openCostInBytes",
+      "spark.sql.files.minPartitionNum",
+      "spark.sql.leafNodeDefaultParallelism"
+    ).map(k => s.conf.getOption(k).getOrElse("-")).mkString("|")
+    val key = s"$dir/$name.parquet@${srcTag(dir, name)}@$par@$splitConf"
     val n   = splitCounts.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
     if (n < par) df.repartition(par) else df
   }

@@ -91,7 +91,13 @@ object ScaleSweep {
     * t0 + k·2s. */
   private def mtimeOrder(groups: Seq[Seq[java.io.File]]): Unit =
     groups.zipWithIndex.foreach { case (fs, k) =>
-      fs.foreach(_.setLastModified(1767225600000L + k * 2000L))
+      fs.foreach { f =>
+        // a silently failed touch (fs without mtime-write support) would
+        // feed waves out of order and measure the wrong streaming regime
+        // — abort loudly instead (ADVICE r6)
+        require(f.setLastModified(1767225600000L + k * 2000L),
+          s"setLastModified failed for $f — cannot order waves by mtime")
+      }
     }
 
   private def peakState(q: org.apache.spark.sql.streaming.StreamingQuery): (Long, Long, Double, Int) = {
@@ -141,6 +147,9 @@ object ScaleSweep {
     mtimeOrder(waveDirs.toSeq.map(_.listFiles().filter(f =>
       !f.getName.startsWith("_") && !f.getName.startsWith(".")).toSeq))
     val schema = implicitly[org.apache.spark.sql.Encoder[WaveFrag]].schema
+    // a crashed prior run leaves cp-$tag behind; resuming from it would
+    // process zero new files and report near-zero peak state (ADVICE r6)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/cp-$tag"))
     val t0 = System.nanoTime()
     val frags = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
@@ -188,6 +197,8 @@ object ScaleSweep {
       .sortBy(_.getName)
     mtimeOrder(parts.toSeq.map(Seq(_)))
     val schema = spark.read.parquet(in).schema
+    // same stale-checkpoint guard as assembleStateProbe (ADVICE r6)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/cp-$tag"))
     val t0 = System.nanoTime()
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(in)

@@ -25,15 +25,20 @@ class PageRankSpec extends AnyFunSuite {
     d
   }
 
-  /** Plain-Scala mirror of the entry's graph synthesis + iteration. */
-  private def reference: Map[Long, Long] = {
+  /** Plain-Scala mirror of the entry's graph synthesis. */
+  private lazy val refEdges: Seq[(Long, Long)] = {
     val m = nDocs // max(doc_id) + 1
-    val edges = (for {
+    (for {
       u <- 0L until nDocs
       b <- 1L to (1L + u % 3L)
       dst = java.lang.Math.floorMod(u * (7L + b), m)
       if dst != u
     } yield (u, dst)).distinct
+  }
+
+  /** Plain-Scala mirror of the entry's integer iteration. */
+  private def reference: Map[Long, Long] = {
+    val edges = refEdges
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     var pr = nodes.map(n => n -> 1000000L).toMap
@@ -41,7 +46,11 @@ class PageRankSpec extends AnyFunSuite {
       val contrib = edges
         .map { case (src, dst) => dst -> pr(src) / deg(src) }
         .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-      pr = nodes.map(n => n -> (150000L + contrib.getOrElse(n, 0L) * 85L / 100L)).toMap
+      // dangling mass (standard formulation): rank on sink nodes is
+      // redistributed uniformly, integer-floored, before damping
+      val dsh = nodes.filterNot(deg.contains).map(pr).sum / math.max(1, nodes.size)
+      pr = nodes.map(n =>
+        n -> (150000L + (contrib.getOrElse(n, 0L) + dsh) * 85L / 100L)).toMap
     }
     pr
   }
@@ -59,6 +68,27 @@ class PageRankSpec extends AnyFunSuite {
     }
     // and the ordering contract: pr desc, node asc tiebreak
     assert(got == got.sortBy { case (node, pr) => (-pr, node) })
+  }
+
+  test("the synthesized graph contains dangling nodes (the redistribution term is not vacuous)") {
+    val srcs = refEdges.map(_._1).toSet
+    val dangling = (refEdges.map(_._2).toSet -- srcs)
+    assert(dangling.nonEmpty,
+      "no sink nodes at this nDocs — the dangling-mass term would be untested")
+    // and the share actually moves a rank: with dsh = 0 the reference
+    // degenerates to the old formulation, so recompute without the term
+    // and assert at least one node's rank differs
+    val edges = refEdges
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var prOld = nodes.map(n => n -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges
+        .map { case (src, dst) => dst -> prOld(src) / deg(src) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      prOld = nodes.map(n => n -> (150000L + contrib.getOrElse(n, 0L) * 85L / 100L)).toMap
+    }
+    assert(reference != prOld, "dangling share changed no rank — term vacuous")
   }
 
   test("ranks are byte-identical across shuffle widths") {
