@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression gate (VERDICT r6 item 3): the exchange /
+  * broadcast structure of the plan-audited registry entries, pinned as
+  * committed expected counts. The r5 "widening" find fixed a bug class
+  * where an edit silently reintroduced a corpus-wide exchange and only
+  * surfaced rounds later as a bench regression; this spec fails the
+  * build the day it happens instead.
+  *
+  * Counted on the FINAL adaptive plan (after `count()`), same regexes as
+  * `tools/PlanCheck`. Only shuffles and broadcasts are pinned — scan /
+  * codegen counts vary with session shape and are not the regression
+  * class this guards. Iterative entries (q30/q34/q42/q48) checkpoint per
+  * round, so their FINAL plan is the post-loop tail (≈1 shuffle: the
+  * output sort) — the gate still catches a reintroduced corpus-wide
+  * exchange in that tail, while the per-round widths are covered by
+  * ConnectedComponentsSpec/PageRankSpec determinism tests.
+  *
+  * Expected values measured at sf0.01 under this suite's session
+  * (local[4], AQE on — exchange counts are partition-count-invariant,
+  * and broadcast decisions depend on data sizes, which are fixed by the
+  * committed testdata). A legitimate plan improvement that CHANGES a
+  * count should update the pinned value in the same commit, with the
+  * new `tools/PlanCheck` line in the message.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.01"
+
+  /** entry -> (max shuffles, exact broadcasts). Shuffles gate as an
+    * upper bound (fewer is an improvement, more is the regression);
+    * broadcasts gate exactly (a broadcast silently DEGRADING to a
+    * shuffle join is precisely the 100 TB failure this watches for —
+    * it would show up as broadcasts-1 AND shuffles+1). */
+  private val expected: Map[String, (Int, Int)] = Map(
+    "q21_minhash_sigs" -> (1, 0), // narrow shingle pipeline: output sort only
+    "q22_lsh_jaccard"  -> (4, 3), // bucket window + band self-join + distinct + sort; 3 broadcast pair→set joins
+    "q43_lsh_r2"       -> (4, 3), // same chain at 4×2 banding
+    "q14_tokenize"     -> (1, 0),
+    "q24_langid"       -> (2, 0),
+    "q20_dedup_exact"  -> (2, 0), // hash-group + output sort
+    "q44_langid_bigram" -> (5, 2), // (doc,lang) partials; profile + argmax broadcasts
+    "q41_decontaminate" -> (4, 2), // broadcast n-gram probe, corpus side narrow
+    "q31_ann_ivf"      -> (2, 0), // zero-shuffle assignment; per-partition top-k + sort
+    "q48_pagerank"     -> (1, 0), // post-loop tail: output sort
+    "q30_tree_depth"   -> (1, 0),
+    "q42_cc_chain"     -> (1, 0),
+    "q34_dup_clusters" -> (1, 0)
+  )
+
+  private def counts(name: String): (Int, Int) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.count() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    def c(p: String) = p.r.findAllIn(plan).length
+    val r = (c("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition"),
+      c("BroadcastExchange"))
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    r
+  }
+
+  expected.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, nBroadcasts)) =>
+    test(s"$name: ≤$maxShuffles shuffles, =$nBroadcasts broadcasts") {
+      val (s, b) = counts(name)
+      assert(s <= maxShuffles,
+        s"$name gained a shuffle: $s > $maxShuffles (got shuffles=$s broadcasts=$b; " +
+          "if intentional, re-audit with tools/PlanCheck and update PlanSpec)")
+      assert(b == nBroadcasts,
+        s"$name broadcast count changed: $b != $nBroadcasts (got shuffles=$s broadcasts=$b; " +
+          "a broadcast degrading to a shuffle join is the 100 TB regression this gates)")
+    }
+  }
+}
