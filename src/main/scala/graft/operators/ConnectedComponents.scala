@@ -59,8 +59,12 @@ object ConnectedComponents {
     * @return DataFrame(node: string, component: string) — component is the
     *         lexicographically smallest node id reachable from `node`.
     */
+  /** @param widthOverride fixes the loop's shuffle width instead of the
+    *        measured-edge-count sizing — measurement hook for the
+    *        width-policy A/B probes (tools/CanonProbe); production
+    *        callers leave it None. */
   def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50,
-          strict: Boolean = true): DataFrame = {
+          strict: Boolean = true, widthOverride: Option[Int] = None): DataFrame = {
     import spark.implicits._
     // loop-invariant: partition the symmetrized edges by the join key
     // ONCE, at the width the measured edge count calls for, before the
@@ -74,7 +78,7 @@ object ConnectedComponents {
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()
-    val p = widthFor(spark, sym0.count())
+    val p = widthOverride.getOrElse(widthFor(spark, sym0.count()))
     val sym = sym0.repartition(p, $"src").localCheckpoint()
 
     // seed with min(node, direct neighbors): the state after one

@@ -46,6 +46,30 @@ object KgQueries {
   private def detAnalyzed(s: SparkSession, dir: String) =
     Pipeline.rewrite(detParsed(s, dir), Pipeline.analyzeCascade)
 
+  /** The kg_entity_canonical entry's inputs — (linked triples, sameAs
+    * star edges) — factored out so tools/CanonProbe can A/B the CC width
+    * policy on the REAL graph this entry resolves (VERDICT r6 item 4);
+    * the entry itself consumes the same function. */
+  def entityCanonicalInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val parsed = detParsedShared(s, dir)
+    val vocab = Pipeline.triples(parsed)
+      .filter($"pred" === "conll:WORD").select($"obj".as("word"))
+    val gaz = EntityLinker.gazetteerFromVocab(vocab)
+    val t = Pipeline.triples(
+      Pipeline.rewrite(parsed, Pipeline.linkCascade))
+    val linked = EntityLinker.linkUnioned(t, gaz)
+    val ents = linked.filter($"pred" === "conll:ENTITY")
+      .select($"obj".as("e")).distinct()
+      .withColumn("b", substring($"e", 5, 3))
+    val edges = ents
+      .withColumn("src", min($"e").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"b")))
+      .filter($"e" =!= $"src")
+      .select($"src", $"e".as("dst"))
+    (linked, edges)
+  }
+
   val all: Seq[Q] = Seq(
     Q(
       // analyze-ud cascade through the full engine, driver-hash-checked
@@ -131,22 +155,7 @@ object KgQueries {
       // iterative way.
       "kg_entity_canonical",
       (s, dir) => {
-        import s.implicits._
-        val parsed = detParsedShared(s, dir)
-        val vocab = Pipeline.triples(parsed)
-          .filter($"pred" === "conll:WORD").select($"obj".as("word"))
-        val gaz = EntityLinker.gazetteerFromVocab(vocab)
-        val t = Pipeline.triples(
-          Pipeline.rewrite(parsed, Pipeline.linkCascade))
-        val linked = EntityLinker.linkUnioned(t, gaz)
-        val ents = linked.filter($"pred" === "conll:ENTITY")
-          .select($"obj".as("e")).distinct()
-          .withColumn("b", substring($"e", 5, 3))
-        val edges = ents
-          .withColumn("src", min($"e").over(
-            org.apache.spark.sql.expressions.Window.partitionBy($"b")))
-          .filter($"e" =!= $"src")
-          .select($"src", $"e".as("dst"))
+        val (linked, edges) = entityCanonicalInputs(s, dir)
         EntityLinker.canonicalize(s, linked, edges)
           .orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))
       },

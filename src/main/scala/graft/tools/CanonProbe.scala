@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Attributes the kg_entity_canonical 1.66 → 2.25 s warm drift between
+  * the r5 and r6 committed artifacts (VERDICT r6 item 4). The r6 CC
+  * rework changed two things that touch this entry: the fixpoint loop's
+  * shuffle width is now sized from the measured edge count (its small
+  * star graph gets width 1 instead of the session's 32), and every run
+  * pays the exact convergence machinery (trigger-confirm anti-join +
+  * edge-wise fixpoint assertion).
+  *
+  * Interleaved same-JVM A/B (the StarProbe methodology):
+  *   A. CC.run on the entry's REAL edge set with the measured width
+  *      (current behavior)
+  *   B. same call with widthOverride = session shuffle width (the r5
+  *      layout)
+  * plus the END-TO-END entry, measured in the same session, as the warm
+  * floor to compare against the committed r5 (1.66 s) / r6 (2.25 s)
+  * numbers. Each axis gets a warm-up pass; reported numbers are min/all
+  * over ≥3 interleaved rounds with per-sample steal jiffies recorded.
+  */
+object CanonProbe {
+
+  private def stealJiffies(): Long = scala.util.Try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
+      .map(_.toLong).getOrElse(0L)
+    finally src.close()
+  }.getOrElse(0L)
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else "/tmp/canon_probe.json"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def cleanup(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
+    // the REAL edge set this entry resolves, materialized once so the
+    // CC A/B measures the loop, not the upstream link pipeline
+    val (_, edges0) = graft.queries.KgQueries.entityCanonicalInputs(spark, dir)
+    val edges = edges0.localCheckpoint()
+    val nEdges = edges.count()
+    cleanup() // drop the upstream parse blocks; keep only `edges`
+
+    def ccRun(width: Option[Int]): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.ConnectedComponents.run(spark, edges, widthOverride = width).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      // unpersist everything EXCEPT the probe's shared edge table
+      val keep = edges.rdd.id
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+        if (id != keep) r.unpersist(blocking = false)
+      }
+      spark.catalog.clearCache()
+      t
+    }
+    def entryRun(): Double = {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries("kg_entity_canonical")(spark, dir).count()
+      val t = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      t
+    }
+
+    val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // warm-up pass per axis
+    ccRun(None); ccRun(Some(default)); entryRun()
+
+    val samples = scala.collection.mutable.Map[String, List[(Double, Long)]]().withDefaultValue(Nil)
+    for (_ <- 1 to 4) {
+      Seq("cc_measured_width" -> (() => ccRun(None)),
+          "cc_default_width" -> (() => ccRun(Some(default))),
+          "entry_end_to_end" -> (() => entryRun())).foreach { case (k, f) =>
+        val s0 = stealJiffies()
+        val t = f()
+        samples(k) ::= (t, stealJiffies() - s0)
+      }
+    }
+    val rowsJson = samples.toSeq.sortBy(_._1).map { case (k, ss) =>
+      val floor = ss.map(_._1).min
+      val allS = ss.map(s => f"${s._1}%.3f").reverse.mkString("[", ",", "]")
+      val steals = ss.map(_._2).reverse.mkString("[", ",", "]")
+      System.err.println(f"[canon] $k%-18s floor ${floor}%6.3f s  samples $allS  steal $steals")
+      f""""$k":{"floor_s":$floor%.3f,"samples_s":$allS,"steal_jiffies":$steals}"""
+    }.mkString(",")
+    val json = s"""{"dir":"$dir","n_edges":$nEdges,"session_width":$default,$rowsJson}"""
+    println(json)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    spark.stop()
+  }
+}

@@ -213,6 +213,16 @@ object ScaleSweep {
     (rows, bytes, meanMs, batches, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Cumulative steal jiffies across all cpus (/proc/stat "cpu" field 8)
+    * — same noisy-neighbor gate as graft.Bench: samples whose window
+    * overlapped a steal burst don't count as clean. */
+  private def stealJiffies(): Long = scala.util.Try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
+      .map(_.toLong).getOrElse(0L)
+    finally src.close()
+  }.getOrElse(0L)
+
   def main(args: Array[String]): Unit = {
     // flags are not paths: `ScaleSweep --decade4` must not write its
     // JSON to a file named "--decade4" (review r6)
@@ -273,8 +283,15 @@ object ScaleSweep {
       f""""$n":{"t_5k":$a%.3f,"t_50k":$b%.3f,"ratio":${b / a}%.3f}"""
     }.mkString("{", ",", "}")
 
+    val want4 = args.contains("--decade4")
+    val dirC = "/tmp/graft-scale-100x-v2"
+    val nC = 500000L
+    if (want4) generate(spark, dirC, nC)
+
     // streaming-state growth (VERDICT r5 #5): 10× corpus, same in-flight
-    // width → peak state rows/bytes must stay ≈flat (sub-linear)
+    // width → peak state rows/bytes must stay ≈flat (sub-linear). With
+    // --decade4 a THIRD point (500k docs / 5M events) turns the flat-
+    // state claim from a two-point ratio into a curve (VERDICT r6 #5).
     def stateJson(tag: String, r: (Long, Long, Double, Int, Double)): String =
       f""""$tag":{"peak_state_rows":${r._1},"peak_state_bytes":${r._2},""" +
         f""""mean_batch_ms":${r._3}%.1f,"batches":${r._4},"total_s":${r._5}%.2f}"""
@@ -285,24 +302,75 @@ object ScaleSweep {
       val winA = windowStateProbe(spark, nEvents = 50000L, nFiles = 12, tag = "5k")
       val winB = windowStateProbe(spark, nEvents = 500000L, nFiles = 120, tag = "50k")
       System.err.println(s"[scale] window state 5k: $winA  50k: $winB")
+      val third = if (!want4) "" else {
+        // same contract one decade up: 10× the waves/files, SAME
+        // in-flight width (~500 open docs) / same 6 h event horizon
+        val asmC = assembleStateProbe(spark, dirC, nWaves = 1000, tag = "500k")
+        System.err.println(s"[scale] assemble state 500k: $asmC")
+        val winC = windowStateProbe(spark, nEvents = 5000000L, nFiles = 1200, tag = "500k")
+        System.err.println(s"[scale] window state 500k: $winC")
+        s"""${stateJson("assemble_500k", asmC)},${stateJson("window_500k", winC)},""" +
+          f""""assemble_state_ratio_500k":${asmC._1.toDouble / math.max(1, asmB._1)}%.3f,""" +
+          f""""window_state_ratio_500k":${winC._1.toDouble / math.max(1, winB._1)}%.3f,"""
+      }
       s""""streaming_state":{${stateJson("assemble_5k", asmA)},${stateJson("assemble_50k", asmB)},""" +
-        s"""${stateJson("window_5k", winA)},${stateJson("window_50k", winB)},""" +
+        s"""${stateJson("window_5k", winA)},${stateJson("window_50k", winB)},""" + third +
         f""""assemble_state_ratio":${asmB._1.toDouble / math.max(1, asmA._1)}%.3f,""" +
         f""""window_state_ratio":${winB._1.toDouble / math.max(1, winA._1)}%.3f}"""
     }
 
     // fourth decade (VERDICT r5 #6), opt-in: 500k docs for the iterative-
     // round entries whose 10× ratios were the sweep's worst — confirms
-    // the round-count story holds one more decade
-    val decade4Json = if (args.contains("--decade4")) {
-      val dirC = "/tmp/graft-scale-100x-v2"
-      val nC = 500000L
-      generate(spark, dirC, nC)
-      val d4 = Seq("q34_dup_clusters", "q30_tree_depth", "q42_cc_chain").map { name =>
-        val tB = time(name, dirB)
-        val tC = time(name, dirC)
-        System.err.println(f"[scale] d4 $name%-22s ${tB}%6.2f s -> ${tC}%6.2f s  ratio ${tC / tB}%5.2f")
-        f""""$name":{"t_50k":$tB%.3f,"t_500k":$tC%.3f,"ratio":${tC / tB}%.3f}"""
+    // the round-count story holds one more decade.
+    //
+    // WARM FLOORS, steal-gated (VERDICT r6 #1): the r6 committed row for
+    // q34 was a hot-window min-of-2 (84.6 s / ratio 5.25) that
+    // contradicted the standalone warm floor (~52 s / ~3.3) — the decade-4
+    // numbers now come from ≥3 clean interleaved rounds (each round times
+    // every entry at 50k then 500k back-to-back, so a slow window hits
+    // both sizes; samples whose window overlapped a steal burst don't
+    // count as clean), after one unrecorded warm-up pass. The committed
+    // artifact and the prose then agree by construction.
+    val decade4Json = if (want4) {
+      val names = Seq("q34_dup_clusters", "q30_tree_depth", "q42_cc_chain", "q48_pagerank")
+      def timeOnce(name: String, dir: String): Double = {
+        val fn = graft.SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm-up: first executions of a plan shape swing 2-3× on this host
+      names.foreach { n => timeOnce(n, dirB); timeOnce(n, dirC) }
+      val clean = scala.collection.mutable.Map[(String, String), List[Double]]().withDefaultValue(Nil)
+      val all = scala.collection.mutable.Map[(String, String), List[Double]]().withDefaultValue(Nil)
+      var round = 0
+      def need: Boolean = names.exists(n =>
+        clean((n, "B")).size < 3 || clean((n, "C")).size < 3)
+      while (need && round < 6) {
+        round += 1
+        names.foreach { n =>
+          Seq("B" -> dirB, "C" -> dirC).foreach { case (k, dir) =>
+            val s0 = stealJiffies()
+            val t = timeOnce(n, dir)
+            val steal = stealJiffies() - s0
+            all((n, k)) ::= t
+            if (steal < 2000L) clean((n, k)) ::= t
+            else System.err.println(s"[scale] d4 sample polluted by steal ($steal jiffies): $n $k")
+          }
+        }
+      }
+      val d4 = names.map { name =>
+        def floor(k: String): (Double, Int) = {
+          val c = clean((name, k))
+          if (c.nonEmpty) (c.min, c.size) else (all((name, k)).min, 0)
+        }
+        val (tB, cB) = floor("B")
+        val (tC, cC) = floor("C")
+        System.err.println(f"[scale] d4 $name%-22s ${tB}%6.2f s -> ${tC}%6.2f s  ratio ${tC / tB}%5.2f (clean $cB/$cC of $round rounds)")
+        f""""$name":{"t_50k":$tB%.3f,"t_500k":$tC%.3f,"ratio":${tC / tB}%.3f,""" +
+          s""""clean_samples_50k":$cB,"clean_samples_500k":$cC,"rounds":$round,"method":"warm floor: min over steal-clean samples, interleaved sizes, 1 warm-up pass"}"""
       }.mkString(s""","decade4":{"n_docs":$nC,"entries":{""", ",", "}}")
       d4
     } else ""
