@@ -40,28 +40,34 @@ object CanonProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def cleanup(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    }
-
     // the REAL edge set this entry resolves, materialized once so the
-    // CC A/B measures the loop, not the upstream link pipeline
+    // CC A/B measures the loop, not the upstream link pipeline.
+    // Identify ITS checkpoint blocks by diffing the persistent-RDD set
+    // around the (eager) localCheckpoint call — edges.rdd.id would be a
+    // fresh deserialization RDD, not the id holding the blocks, and a
+    // blanket unpersist would destroy the truncated-lineage table
+    // irrecoverably (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
     val (_, edges0) = graft.queries.KgQueries.entityCanonicalInputs(spark, dir)
+    val beforeIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val edges = edges0.localCheckpoint()
+    var keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet -- beforeIds
     val nEdges = edges.count()
-    cleanup() // drop the upstream parse blocks; keep only `edges`
+
+    // drop everything except the probe's shared edge table (incl. the
+    // upstream parse blocks now, and each run's loop internals later)
+    def cleanup(): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
+        if (!keepIds.contains(id)) r.unpersist(blocking = false)
+      }
+      spark.catalog.clearCache()
+    }
+    cleanup()
 
     def ccRun(width: Option[Int]): Double = {
       val t0 = System.nanoTime()
       graft.operators.ConnectedComponents.run(spark, edges, widthOverride = width).count()
       val t = (System.nanoTime() - t0) / 1e9
-      // unpersist everything EXCEPT the probe's shared edge table
-      val keep = edges.rdd.id
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, r) =>
-        if (id != keep) r.unpersist(blocking = false)
-      }
-      spark.catalog.clearCache()
+      cleanup()
       t
     }
     def entryRun(): Double = {
@@ -72,15 +78,34 @@ object CanonProbe {
       t
     }
 
+    // the r6 exactness machinery priced separately: one edge-wise
+    // fixpoint join (assertComponentLabels) on the converged labels —
+    // the cost run() added per call relative to r5's trigger-only loop
+    val rawLabels = graft.operators.ConnectedComponents.run(spark, edges)
+    val beforeLabels = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val labels = rawLabels.localCheckpoint() // copies out of run()'s internals
+    // the shared labels table survives cleanup() like `edges` does;
+    // run()'s internal loop checkpoints (pre-snapshot ids) do not
+    keepIds ++= spark.sparkContext.getPersistentRDDs.keySet.toSet -- beforeLabels
+    cleanup()
+    def verifyRun(): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.ConnectedComponents.assertComponentLabels(edges, labels)
+      val t = (System.nanoTime() - t0) / 1e9
+      cleanup()
+      t
+    }
+
     val default = spark.conf.get("spark.sql.shuffle.partitions").toInt
     // warm-up pass per axis
-    ccRun(None); ccRun(Some(default)); entryRun()
+    ccRun(None); ccRun(Some(default)); entryRun(); verifyRun()
 
     val samples = scala.collection.mutable.Map[String, List[(Double, Long)]]().withDefaultValue(Nil)
     for (_ <- 1 to 4) {
       Seq("cc_measured_width" -> (() => ccRun(None)),
           "cc_default_width" -> (() => ccRun(Some(default))),
-          "entry_end_to_end" -> (() => entryRun())).foreach { case (k, f) =>
+          "entry_end_to_end" -> (() => entryRun()),
+          "fixpoint_assert_join" -> (() => verifyRun())).foreach { case (k, f) =>
         val s0 = stealJiffies()
         val t = f()
         samples(k) ::= (t, stealJiffies() - s0)

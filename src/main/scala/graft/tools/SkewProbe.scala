@@ -100,7 +100,11 @@ object SkewProbe {
     def runOnce(df: org.apache.spark.sql.DataFrame): (Double, Long, Long, Seq[Long]) = {
       listener.drain()
       val t0 = System.nanoTime()
-      val row = df.agg(count(lit(1)), sum(xxhash64($"subj", $"obj"))).head()
+      // bit_xor, not sum: ANSI mode makes sum() of 20M 64-bit hashes an
+      // ARITHMETIC_OVERFLOW; xor is order-invariant and cannot overflow.
+      // (Multiset caveat — xor cancels duplicate pairs — is covered by
+      // the exact row count beside it plus distinct subj ids.)
+      val row = df.agg(count(lit(1)), expr("bit_xor(xxhash64(subj, obj))")).head()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       Thread.sleep(200) // let TaskEnd events drain through the bus
