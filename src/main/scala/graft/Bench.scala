@@ -83,16 +83,13 @@ object Bench {
     val warm = session(32); warm.sparkContext.setLogLevel("WARN")
     kgRun(warm, docsPath); kgRun(warm, docsPath); warm.stop()
 
-    // cumulative steal jiffies across all cpus (/proc/stat "cpu" line,
-    // field 8) — a whole-window burst of neighbor steal slows BOTH levels
+    // cumulative steal gate (shared graft.tools.HostGauge) — a
+    // whole-window burst of neighbor steal slows BOTH levels
     // proportionally and corrupts the ratio (observed: 0.755 under ~940
-    // CPU-s of steal vs 0.924 immediately after on the idle box)
-    def stealJiffies(): Long = scala.util.Try {
-      val src = scala.io.Source.fromFile("/proc/stat")
-      try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
-        .map(_.toLong).getOrElse(0L)
-      finally src.close()
-    }.getOrElse(0L)
+    // CPU-s of steal vs 0.924 immediately after on the idle box). An
+    // UNREADABLE gate no longer counts as clean (ADVICE r7): those
+    // rounds are recorded as ungated.
+    import graft.tools.HostGauge
 
     // this host has noisy-neighbor CPU steal: interleave the two levels
     // and take per-level minima so a slow period can't bias one level
@@ -103,16 +100,18 @@ object Bench {
     // 0.795 once where the adjacent runs read 0.86 and 0.80)
     val rounds = scala.collection.mutable.ArrayBuffer[((Double, Long), (Double, Long))]()
     var clean = 0
+    var ungated = 0
     var attempts = 0
     var maxSteal = 0L
     while (clean < 4 && attempts < 8) {
-      val s0 = stealJiffies()
-      val r = (measureOnce(levelN), measureOnce(level4N))
-      val stealDelta = stealJiffies() - s0
+      val (r, stealDelta) = HostGauge.stealWindow((measureOnce(levelN), measureOnce(level4N)))
       rounds += r
-      maxSteal = math.max(maxSteal, stealDelta)
-      if (stealDelta < 2000L) clean += 1
-      else System.err.println(s"[bench] round polluted by steal: $stealDelta jiffies")
+      maxSteal = math.max(maxSteal, stealDelta.getOrElse(0L))
+      if (HostGauge.isClean(stealDelta)) clean += 1
+      else if (stealDelta.isEmpty) {
+        ungated += 1
+        System.err.println("[bench] steal gate unreadable this round: counted as ungated, not clean")
+      } else System.err.println(s"[bench] round polluted by steal: ${stealDelta.get} jiffies")
       attempts += 1
     }
     val tN = rounds.map(_._1._1).min
@@ -181,7 +180,23 @@ object Bench {
     def totalOf(r: Map[String, Double]): Double = r.values.filter(_ >= 0).sum
     def jsonOf(r: Map[String, Double]): String =
       r.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // disk-health canary around each registry pass (VERDICT r7 #2): the
+    // r7 1.7× warm-total regression was ATTRIBUTED to ambient host I/O
+    // but nothing measured the disk — now every bench window carries
+    // O_DIRECT read + fsync write MB/s taken immediately before and
+    // after each pass, so a degraded window is a measurement, not an
+    // argument. Probes run OUTSIDE the timed entries.
+    val canaryVals = scala.collection.mutable.ArrayBuffer[(String, Double, Double, Boolean)]()
+    val canaries = scala.collection.mutable.ArrayBuffer[String]()
+    def canaryProbe(tag: String): Unit = {
+      val (r, w, d) = graft.tools.HostGauge.ioCanary()
+      canaryVals += ((tag, r, w, d))
+      canaries += f""""$tag":{"read_mbps":${r}%.1f,"write_mbps":${w}%.1f,"direct":$d}"""
+      System.err.println(f"[canary] $tag%-12s read ${r}%8.1f MB/s  write ${w}%8.1f MB/s  direct=$d")
+    }
+    canaryProbe("sf1_before")
     val pass = registryPass(sfDir)
+    canaryProbe("sf1_after")
     val results = pass.map { case (k, (c, _)) => k -> c }
     val resultsWarm = pass.map { case (k, (_, w)) => k -> w }
     val qs = jsonOf(results)
@@ -210,7 +225,10 @@ object Bench {
     }
     val sf2 = if (sf2Dir != sfDir && new java.io.File(sf2Dir).isDirectory) {
       graft.queries.Fixtures.ensureAll(spark, sf2Dir) // untimed, as above
-      Some(registryPass(sf2Dir))
+      canaryProbe("sf2_before")
+      val r = Some(registryPass(sf2Dir))
+      canaryProbe("sf2_after")
+      r
     } else None
     val sf2Json = sf2.map { r =>
       val cold2 = r.map { case (k, (c, _)) => k -> c }
@@ -231,7 +249,9 @@ object Bench {
         // only from steal-polluted rounds — the driver can see that here
         // instead of parsing stderr
         s""""scaling_rounds_total":$attempts,"scaling_rounds_clean":$clean,""" +
+        s""""scaling_rounds_ungated":$ungated,""" +
         s""""scaling_max_steal_jiffies":$maxSteal,""" +
+        s""""io_canary_mbps":{${canaries.mkString(",")}},""" +
         s""""kg_docs_small":$nDocsSmall,"kg_triples_small":$triplesSmall,""" +
         s""""kg_sec_small_local$level4N":$tSmall,""" +
         s""""kg_triples_per_sec_small_local$level4N":${triplesSmall / tSmall},""" +
@@ -276,6 +296,7 @@ object Bench {
         s""""scaling_efficiency":${r3(efficiency)},""" +
         s""""scaling_rounds_total":$attempts,"scaling_rounds_clean":$clean,""" +
         s""""input_scaling_tps_ratio":${r3((triples / t4N) / (triplesSmall / tSmall))},""" +
+        s""""io_canary_min_read_mbps":${r3(canaryVals.map(_._2).min)},""" +
         s""""full":"/tmp/bench_final.json","full_committed":"docs/bench_full_latest.json",""" +
         s""""sf":"$sfDir"}"""
     println(compact)

@@ -89,20 +89,35 @@ object CurationQueries {
       // training-data pipeline runs before tokenization. Narrow map;
       // the redacted text is fingerprinted so the oracle compares
       // content without hauling full text through the hash gate.
+      // The word-only driver corpus contains NO digits, so redaction
+      // was an identity rewrite at every SF (VERDICT r7 #4 gate sweep);
+      // a deterministic id-derived digit run is appended to 2/3 of the
+      // docs (mirrored in the oracle) so BOTH outcomes — redacted and
+      // untouched — flow through the hash gate. NonVacuitySpec asserts
+      // both appear.
       "q39_redact",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        val withPii = Tables.documents(s, dir)
+          .select($"doc_id", concat($"text",
+            when(pmod($"doc_id", lit(3)) =!= 0,
+              concat(lit(" ref "), ($"doc_id" + 100000L).cast("string")))
+              .otherwise(lit(""))).as("text"))
+        withPii
           .select($"doc_id",
             size(regexp_extract_all($"text", lit("[0-9]{4,}"), lit(0)))
               .cast("bigint").as("n_redacted"),
             md5(regexp_replace($"text", "[0-9]{4,}", "<NUM>").cast("binary")).as("fp"))
           .orderBy($"doc_id")
       },
-      Some("""SELECT doc_id,
+      Some("""WITH piidocs AS (
+          SELECT doc_id, text || CASE WHEN doc_id % 3 <> 0
+            THEN ' ref ' || CAST(doc_id + 100000 AS VARCHAR) ELSE '' END AS text
+          FROM documents)
+        SELECT doc_id,
           CAST(len(regexp_extract_all(text, '[0-9]{4,}')) AS BIGINT) AS n_redacted,
           md5(regexp_replace(text, '[0-9]{4,}', '<NUM>', 'g')) AS fp
-        FROM documents ORDER BY doc_id""")
+        FROM piidocs ORDER BY doc_id""")
     ),
     Q(
       // Repetition filter (the Gopher-style duplicate-n-gram rule): the

@@ -188,18 +188,30 @@ object DedupQueries {
   val all: Seq[Q] = Seq(
     Q(
       // Exact dedup: content-hash grouping; group_size > 1 = duplicate set.
+      // Every 50th document is re-planted under a shifted id (mirrored in
+      // the oracle), so multi-member duplicate groups exist at EVERY SF —
+      // the driver corpus has no exact text dups below sf0.1, which left
+      // this gate trivially satisfied (all group_size = 1) at the
+      // driver's sf0.01 correctness scale (VERDICT r7 #4 gate sweep).
+      // NonVacuitySpec asserts the planted groups resolve.
       "q20_dedup_exact",
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
+        val base = Tables.documents(s, dir).select($"doc_id", $"text")
+        val planted = base.filter(pmod($"doc_id", lit(50)) === 0)
+          .select(($"doc_id" + 10000000L).as("doc_id"), $"text")
+        base.unionByName(planted)
           .select($"doc_id", md5s($"text").as("fingerprint"))
           .withColumn("group_size",
             count(lit(1)).over(Window.partitionBy($"fingerprint")))
           .orderBy($"doc_id")
       },
-      Some("""SELECT doc_id, md5(text) AS fingerprint,
+      Some("""WITH docs2 AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0)
+        SELECT doc_id, md5(text) AS fingerprint,
         COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
-        FROM documents ORDER BY doc_id""")
+        FROM docs2 ORDER BY doc_id""")
     ),
     Q(
       "q21_minhash_sigs",

@@ -1159,14 +1159,17 @@ object KgOracle {
     ) u ORDER BY doc_id, sent, subj, pred, obj"""
 
   /** linkSql with the ENTITY objects CANONICALIZED: sameAs evidence is
-    * the bucket clique over the first 3 hash chars of each entity id, so
-    * the connected component's min label has the closed form
+    * the bucket star over the FIRST hash char of each entity id (16
+    * buckets — guaranteed collisions among the 25-word det vocab, so the
+    * rewrite is non-identity by construction; the r3–r7 3-char key never
+    * collided and gated an identity rewrite, VERDICT r7 #1), so the
+    * connected component's min label has the closed form
     * MIN(e) OVER (PARTITION BY bucket) — no recursion needed, while the
     * engine runs the real iterative min-label CC. */
   def linkCanonicalSql: String =
     s"""$detCte, ud_concepts(upos, concept) AS (VALUES $udConceptValues),
     ents AS (SELECT DISTINCT 'ent:' || substring(md5(lower(word)), 1, 12) AS e FROM tok2),
-    canon AS (SELECT e, MIN(e) OVER (PARTITION BY substring(e, 5, 3)) AS c FROM ents)
+    canon AS (SELECT e, MIN(e) OVER (PARTITION BY substring(e, 5, 1)) AS c FROM ents)
     SELECT doc_id, CAST(sent AS BIGINT) AS sent, subj, pred, obj, obj_uri AS obj_is_uri FROM (
       $baseBranchesSql
       UNION ALL SELECT t.doc_id, t.sent,

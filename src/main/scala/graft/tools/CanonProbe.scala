@@ -2,32 +2,29 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Attributes the kg_entity_canonical 1.66 → 2.25 s warm drift between
-  * the r5 and r6 committed artifacts (VERDICT r6 item 4). The r6 CC
-  * rework changed two things that touch this entry: the fixpoint loop's
-  * shuffle width is now sized from the measured edge count (its small
-  * star graph gets width 1 instead of the session's 32), and every run
-  * pays the exact convergence machinery (trigger-confirm anti-join +
-  * edge-wise fixpoint assertion).
+/** A/Bs the kg_entity_canonical entry's CC width policy and exactness
+  * machinery on the entry's REAL sameAs graph.
+  *
+  * HISTORY: the r6/r7 runs of this probe (canon_probe_r7.json) timed an
+  * EMPTY graph — the then 3-hex-char bucket key had zero collisions on
+  * the 25-word det vocab, so n_edges was 0 and the width-policy A/B
+  * measured fixed per-call overhead, not the policy (VERDICT r7
+  * What's-wrong #1). The entry now buckets by ONE hex char (non-empty by
+  * construction) and this probe REFUSES to produce an artifact on an
+  * empty graph (ADVICE r7), so a silent return to vacuity writes no
+  * official-looking JSON.
   *
   * Interleaved same-JVM A/B (the StarProbe methodology):
   *   A. CC.run on the entry's REAL edge set with the measured width
   *      (current behavior)
   *   B. same call with widthOverride = session shuffle width (the r5
   *      layout)
-  * plus the END-TO-END entry, measured in the same session, as the warm
-  * floor to compare against the committed r5 (1.66 s) / r6 (2.25 s)
-  * numbers. Each axis gets a warm-up pass; reported numbers are min/all
-  * over ≥3 interleaved rounds with per-sample steal jiffies recorded.
+  * plus the END-TO-END entry and the exact-convergence fixpoint join,
+  * measured in the same session. Each axis gets a warm-up pass; reported
+  * numbers are min/all over ≥3 interleaved rounds with per-sample steal
+  * jiffies recorded (null = gate unreadable, NOT zero steal).
   */
 object CanonProbe {
-
-  private def stealJiffies(): Long = scala.util.Try {
-    val src = scala.io.Source.fromFile("/proc/stat")
-    try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
-      .map(_.toLong).getOrElse(0L)
-    finally src.close()
-  }.getOrElse(0L)
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -52,6 +49,9 @@ object CanonProbe {
     val edges = edges0.localCheckpoint()
     var keepIds = spark.sparkContext.getPersistentRDDs.keySet.toSet -- beforeIds
     val nEdges = edges.count()
+    require(nEdges > 0,
+      "probe input graph is empty — the A/B would measure nothing " +
+        "(this exact vacuity shipped as canon_probe_r7.json; see VERDICT r7 #1)")
 
     // drop everything except the probe's shared edge table (incl. the
     // upstream parse blocks now, and each run's loop internals later)
@@ -88,6 +88,11 @@ object CanonProbe {
     // run()'s internal loop checkpoints (pre-snapshot ids) do not
     keepIds ++= spark.sparkContext.getPersistentRDDs.keySet.toSet -- beforeLabels
     cleanup()
+    // the resolved components are part of the evidence: non-trivial
+    // merges means the A/B timed real label propagation
+    val nComponents = labels.select("component").distinct().count()
+    val nNodes = labels.count()
+    cleanup()
     def verifyRun(): Double = {
       val t0 = System.nanoTime()
       graft.operators.ConnectedComponents.assertComponentLabels(edges, labels)
@@ -100,25 +105,26 @@ object CanonProbe {
     // warm-up pass per axis
     ccRun(None); ccRun(Some(default)); entryRun(); verifyRun()
 
-    val samples = scala.collection.mutable.Map[String, List[(Double, Long)]]().withDefaultValue(Nil)
+    val samples = scala.collection.mutable.Map[String, List[(Double, Option[Long])]]().withDefaultValue(Nil)
     for (_ <- 1 to 4) {
       Seq("cc_measured_width" -> (() => ccRun(None)),
           "cc_default_width" -> (() => ccRun(Some(default))),
           "entry_end_to_end" -> (() => entryRun()),
           "fixpoint_assert_join" -> (() => verifyRun())).foreach { case (k, f) =>
-        val s0 = stealJiffies()
-        val t = f()
-        samples(k) ::= (t, stealJiffies() - s0)
+        val (t, steal) = HostGauge.stealWindow(f())
+        samples(k) ::= (t, steal)
       }
     }
     val rowsJson = samples.toSeq.sortBy(_._1).map { case (k, ss) =>
       val floor = ss.map(_._1).min
       val allS = ss.map(s => f"${s._1}%.3f").reverse.mkString("[", ",", "]")
-      val steals = ss.map(_._2).reverse.mkString("[", ",", "]")
+      // null = gate unreadable (ungated sample), distinct from 0 steal
+      val steals = ss.map(_._2.map(_.toString).getOrElse("null")).reverse.mkString("[", ",", "]")
       System.err.println(f"[canon] $k%-18s floor ${floor}%6.3f s  samples $allS  steal $steals")
       f""""$k":{"floor_s":$floor%.3f,"samples_s":$allS,"steal_jiffies":$steals}"""
     }.mkString(",")
-    val json = s"""{"dir":"$dir","n_edges":$nEdges,"session_width":$default,$rowsJson}"""
+    val json = s"""{"dir":"$dir","n_edges":$nEdges,"n_nodes":$nNodes,""" +
+      s""""n_components":$nComponents,"session_width":$default,$rowsJson}"""
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()

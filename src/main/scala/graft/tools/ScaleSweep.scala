@@ -213,16 +213,6 @@ object ScaleSweep {
     (rows, bytes, meanMs, batches, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Cumulative steal jiffies across all cpus (/proc/stat "cpu" field 8)
-    * — same noisy-neighbor gate as graft.Bench: samples whose window
-    * overlapped a steal burst don't count as clean. */
-  private def stealJiffies(): Long = scala.util.Try {
-    val src = scala.io.Source.fromFile("/proc/stat")
-    try src.getLines().next().trim.split("\\s+").drop(1).lift(7)
-      .map(_.toLong).getOrElse(0L)
-    finally src.close()
-  }.getOrElse(0L)
-
   def main(args: Array[String]): Unit = {
     // flags are not paths: `ScaleSweep --decade4` must not write its
     // JSON to a file named "--decade4" (review r6)
@@ -280,23 +270,31 @@ object ScaleSweep {
     // (each round times the entry at 5k then 50k back-to-back, so a slow
     // window degrades both sizes of a ratio, not one); samples whose
     // window overlapped a steal burst never enter the floor.
+    // shared steal gate (graft.tools.HostGauge): unreadable-gate samples
+    // are UNGATED (counted separately), never clean (ADVICE r7)
+    var ungatedSamples = 0
     val baseNames = entries.filter(n => only.forall(_.contains(n)))
     baseNames.foreach { n => timeOnce(n, dirA); timeOnce(n, dirB) }
     val bClean = scala.collection.mutable.Map[(String, String), List[Double]]().withDefaultValue(Nil)
     val bAll = scala.collection.mutable.Map[(String, String), List[Double]]().withDefaultValue(Nil)
     var bRound = 0
-    def bNeed: Boolean = baseNames.exists(n =>
-      bClean((n, "A")).size < 3 || bClean((n, "B")).size < 3)
-    while (bNeed && bRound < 6) {
+    def bEntryNeeds(n: String): Boolean =
+      bClean((n, "A")).size < 3 || bClean((n, "B")).size < 3
+    // cap raised 6 → 8 and SATISFIED entries drop out of later rounds,
+    // so a busy window can be outwaited without re-timing the whole list
+    // (the sizes of a still-needed entry stay paired back-to-back — a
+    // slow window degrades both sides of its ratio, not one)
+    while (baseNames.exists(bEntryNeeds) && bRound < 8) {
       bRound += 1
-      baseNames.foreach { n =>
+      baseNames.filter(bEntryNeeds).foreach { n =>
         Seq("A" -> dirA, "B" -> dirB).foreach { case (k, dir) =>
-          val s0 = stealJiffies()
-          val t = timeOnce(n, dir)
-          val steal = stealJiffies() - s0
+          val (t, steal) = HostGauge.stealWindow(timeOnce(n, dir))
           bAll((n, k)) ::= t
-          if (steal < 2000L) bClean((n, k)) ::= t
-          else System.err.println(s"[scale] base sample polluted by steal ($steal jiffies): $n $k")
+          if (HostGauge.isClean(steal)) bClean((n, k)) ::= t
+          else if (steal.isEmpty) {
+            ungatedSamples += 1
+            System.err.println(s"[scale] steal gate unreadable (sample ungated): $n $k")
+          } else System.err.println(s"[scale] base sample polluted by steal (${steal.get} jiffies): $n $k")
         }
       }
     }
@@ -371,18 +369,26 @@ object ScaleSweep {
       val clean = scala.collection.mutable.Map[(String, String), List[Double]]().withDefaultValue(Nil)
       val all = scala.collection.mutable.Map[(String, String), List[Double]]().withDefaultValue(Nil)
       var round = 0
-      def need: Boolean = names.exists(n =>
-        clean((n, "B")).size < 3 || clean((n, "C")).size < 3)
-      while (need && round < 6) {
+      def entryNeeds(n: String): Boolean =
+        clean((n, "B")).size < 3 || clean((n, "C")).size < 3
+      // round cap 6 → 12 with satisfied entries dropping out (VERDICT r7
+      // #6): the r7 run exhausted its 6 all-entry rounds with q34's 500k
+      // side never once steal-clean, leaving the committed row's floor
+      // polluted and the clean 41.45 s confirmation in a side artifact —
+      // the q34-only confirm run showed clean 500k windows DO arrive
+      // when the loop can outwait the bursts, so the main artifact now
+      // does exactly that in-place
+      while (names.exists(entryNeeds) && round < 12) {
         round += 1
-        names.foreach { n =>
+        names.filter(entryNeeds).foreach { n =>
           Seq("B" -> dirB, "C" -> dirC).foreach { case (k, dir) =>
-            val s0 = stealJiffies()
-            val t = timeOnce(n, dir)
-            val steal = stealJiffies() - s0
+            val (t, steal) = HostGauge.stealWindow(timeOnce(n, dir))
             all((n, k)) ::= t
-            if (steal < 2000L) clean((n, k)) ::= t
-            else System.err.println(s"[scale] d4 sample polluted by steal ($steal jiffies): $n $k")
+            if (HostGauge.isClean(steal)) clean((n, k)) ::= t
+            else if (steal.isEmpty) {
+              ungatedSamples += 1
+              System.err.println(s"[scale] steal gate unreadable (d4 sample ungated): $n $k")
+            } else System.err.println(s"[scale] d4 sample polluted by steal (${steal.get} jiffies): $n $k")
           }
         }
       }
@@ -401,7 +407,8 @@ object ScaleSweep {
     } else ""
 
     val json =
-      s"""{"n_docs_small":$nA,"n_docs_large":$nB,"entries":$entriesJson,""" +
+      s"""{"n_docs_small":$nA,"n_docs_large":$nB,""" +
+        s""""ungated_samples":$ungatedSamples,"entries":$entriesJson,""" +
         streamingJson + decade4Json + "}"
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")

@@ -45,6 +45,30 @@ object SkewProbe {
     }
   }
 
+  /** Block until the listener bus has delivered all queued events.
+    * Preferred path: LiveListenerBus.waitUntilEmpty() (private[spark],
+    * public at bytecode level → reflective call). Fallback when the
+    * accessor is absent: poll until the bus reports a stable state —
+    * three consecutive 100 ms windows with no new TaskEnd deliveries to
+    * OUR listener (capped at 10 s). */
+  private def awaitListenerQuiescence(spark: SparkSession, listener: TaskTimes): Unit = {
+    val sc = spark.sparkContext
+    val viaBus = scala.util.Try {
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+    }
+    if (viaBus.isFailure) {
+      var stable = 0
+      var last = listener.buf.size
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(100); waited += 100
+        val now = listener.buf.size
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/skew_probe.json")
     val nMentions = 20000000L
@@ -107,7 +131,11 @@ object SkewProbe {
       val row = df.agg(count(lit(1)), expr("bit_xor(xxhash64(subj, obj))")).head()
       val wall = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      Thread.sleep(200) // let TaskEnd events drain through the bus
+      // block until TaskEnd events have drained through the bus — a
+      // fixed sleep dropped late events from this config's percentiles
+      // and leaked them into the NEXT config's skew evidence under load
+      // (ADVICE r7)
+      awaitListenerQuiescence(spark, listener)
       (wall, row.getLong(0), row.getLong(1), listener.drain())
     }
 

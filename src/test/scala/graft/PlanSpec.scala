@@ -24,6 +24,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * committed testdata). A legitimate plan improvement that CHANGES a
   * count should update the pinned value in the same commit, with the
   * new `tools/PlanCheck` line in the message.
+  *
+  * MEASURED UNDER SPARK 4.1.2 (ADVICE r7): the exact broadcast pins tie
+  * these tests to AQE's size-estimate behavior for the committed
+  * testdata. If a Spark minor-version bump or a parquet-stats change
+  * fails many of these at once, re-audit with tools/PlanCheck and re-pin
+  * — a wholesale failure after an upgrade is a measurement-basis change,
+  * not 22 simultaneous plan regressions.
   */
 class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -47,7 +54,25 @@ class PlanSpec extends AnyFunSuite {
     "q48_pagerank"     -> (1, 0), // post-loop tail: output sort
     "q30_tree_depth"   -> (1, 0),
     "q42_cc_chain"     -> (1, 0),
-    "q34_dup_clusters" -> (1, 0)
+    "q34_dup_clusters" -> (1, 0),
+    // link/canonical pipelines (VERDICT r7 item 5): the broadcast-regime
+    // link is the 100 TB class this spec exists for — its fused flatMap
+    // uses an sc.broadcast (no BroadcastExchange NODE), so the pin is
+    // 0 broadcasts + 1 shuffle (output sort); the fused path silently
+    // degrading to a join would surface as shuffles+1
+    "kg_pipeline_link"        -> (1, 0),
+    // forced-shuffle salted regime: salted join + output sort; at sf0.01
+    // AQE still elects to broadcast the exploded gazetteer side (tiny
+    // fixed vocab) — at real gazetteer scale it stays a shuffle join
+    "kg_pipeline_link_salted" -> (2, 1),
+    // post-CC tail: label join + entity distinct + output sort
+    "kg_entity_canonical"     -> (3, 0),
+    "kg_pipeline_analyze"     -> (1, 0), // cascade is narrow; output sort only
+    "kg_pipeline_parse"       -> (1, 0),
+    "q18_entity_link"         -> (2, 1), // broadcast gazetteer; tokens + sort
+    "q32_embed_neardup"       -> (3, 1), // hyperplane buckets + pair join + sort; broadcast pair→vec
+    "q46_url_canonical"       -> (2, 0), // canonical-group agg + sort
+    "q47_ngram_boilerplate"   -> (2, 0)  // map-side-combinable count + sort
   )
 
   private def counts(name: String): (Int, Int) = {
