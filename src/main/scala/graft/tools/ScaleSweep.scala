@@ -363,7 +363,14 @@ object ScaleSweep {
     // count as clean), after one unrecorded warm-up pass. The committed
     // artifact and the prose then agree by construction.
     val decade4Json = if (want4) {
-      val names = Seq("q34_dup_clusters", "q30_tree_depth", "q42_cc_chain", "q48_pagerank")
+      // --d4names=a,b scopes the decade-4 phase (r8: lets a single entry —
+      // e.g. kg_entity_canonical after its vacuity fix — get a 500k point
+      // in a side artifact without re-running the official quartet)
+      val names = args.collectFirst { case a if a.startsWith("--d4names=") =>
+        a.stripPrefix("--d4names=").split(",").toSeq
+      }.getOrElse(Seq("q34_dup_clusters", "q30_tree_depth", "q42_cc_chain", "q48_pagerank"))
+      require(names.nonEmpty && names.forall(graft.SparkEntry.queries.contains),
+        s"unknown --d4names entry among: $names")
       // warm-up: first executions of a plan shape swing 2-3× on this host
       names.foreach { n => timeOnce(n, dirB); timeOnce(n, dirC) }
       val clean = scala.collection.mutable.Map[(String, String), List[Double]]().withDefaultValue(Nil)
