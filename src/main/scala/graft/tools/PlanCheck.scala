@@ -20,8 +20,13 @@ object PlanCheck {
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      df.count() // finalize the adaptive plan so reuse/coalesce are visible
+      // execute df's OWN physical plan (df.count() would finalize the
+      // count's separate QueryExecution and leave this one
+      // isFinalPlan=false, hiding AQE's runtime SMJ→BHJ conversions —
+      // the r8 find: the old counts were of the pre-execution tree)
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0) // finalized AQE toString appends the initial tree too — count the final section only
       def count(p: String) = p.r.findAllIn(plan).length
       println(f"[plan] $name%-22s shuffles=${count("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition")}" +
         f" reused=${count("ReusedExchange")}" +
