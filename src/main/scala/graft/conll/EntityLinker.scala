@@ -91,14 +91,29 @@ object EntityLinker {
     vocab.select(lower(col("word")).as("surface")).distinct()
       .withColumn("entity_id", concat(lit("ent:"), substring(md5(col("surface").cast("binary")), 1, 12)))
 
+  /** Entity tables under this many nodes get a STATIC broadcast hint in
+    * [[canonicalize]]: ~1M (node, component) string pairs is tens of MB —
+    * trivially within executor memory, and far cheaper than the
+    * alternative. AQE converts the join to broadcast at runtime anyway
+    * when the component side is small, but only AFTER the corpus-sized
+    * linked side has materialized its full shuffle WRITE (AQE re-plans on
+    * completed map stages); the static hint removes that write entirely.
+    * Measuring instead of guessing is free here because CC's output is
+    * localCheckpointed — the count is a block scan, not a recompute. */
+  val canonicalBroadcastMaxNodes = 1000000L
+
   /** Canonicalize entity ids over sameAs evidence via connected
     * components; rewrites linked triples' objects to the canonical
-    * (minimum) id. The join strategy is left to Catalyst/AQE: the
-    * component table is entity-count-sized, which outgrows a forced
-    * broadcast at corpus scale. */
+    * (minimum) id. Join strategy: broadcast when the MEASURED component
+    * count is under [[canonicalBroadcastMaxNodes]] (skipping the probe
+    * side's shuffle write — see the threshold's doc); above it the
+    * strategy is left to Catalyst/AQE, because the component table is
+    * entity-count-sized and outgrows a broadcast at corpus scale. */
   def canonicalize(spark: SparkSession, linked: DataFrame, sameAs: DataFrame): DataFrame = {
     val comp = graft.operators.ConnectedComponents.run(spark, sameAs)
-    linked.join(comp, linked("obj") === comp("node"), "left_outer")
+    val compSized =
+      if (comp.count() <= canonicalBroadcastMaxNodes) broadcast(comp) else comp
+    linked.join(compSized, linked("obj") === compSized("node"), "left_outer")
       .withColumn("obj", coalesce(col("component"), col("obj")))
       .drop("node", "component")
   }

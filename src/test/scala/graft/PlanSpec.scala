@@ -77,13 +77,15 @@ class PlanSpec extends AnyFunSuite {
     // AQE still elects to broadcast the exploded gazetteer side (tiny
     // fixed vocab) — at real gazetteer scale it stays a shuffle join
     "kg_pipeline_link_salted" -> (2, 1),
-    // post-CC tail: entity distinct + canonicalize join + output sort.
-    // The canonicalize join is left to AQE by design (EntityLinker
-    // .canonicalize: the component table outgrows a forced broadcast at
-    // corpus scale) and AQE converts it SMJ→BHJ at runtime because the
-    // comp side is tiny — THIS pin is the one that catches that
-    // broadcast degrading back to a shuffle join (the 100 TB class)
-    "kg_entity_canonical"     -> (3, 1),
+    // post-CC tail: canonicalize broadcast join + output sort. The join
+    // broadcasts on a MEASURED component count (EntityLinker
+    // .canonicalize: ≤1M nodes → static broadcast hint, skipping the
+    // probe side's shuffle write that AQE's runtime conversion would
+    // still pay; above → shuffle join, since the component table is
+    // entity-count-sized at corpus scale). THIS pin catches that
+    // broadcast degrading back to a shuffle join (the 100 TB class):
+    // it would read shuffles=3, broadcasts=0
+    "kg_entity_canonical"     -> (1, 1),
     "kg_pipeline_analyze"     -> (1, 0), // cascade is narrow; output sort only
     "kg_pipeline_parse"       -> (1, 0),
     "q18_entity_link"         -> (2, 1), // broadcast gazetteer; tokens + sort
