@@ -91,7 +91,28 @@ class PlanSpec extends AnyFunSuite {
     "q18_entity_link"         -> (2, 1), // broadcast gazetteer; tokens + sort
     "q32_embed_neardup"       -> (3, 1), // hyperplane buckets + pair join + sort; broadcast pair→vec
     "q46_url_canonical"       -> (2, 0), // canonical-group agg + sort
-    "q47_ngram_boilerplate"   -> (2, 0)  // map-side-combinable count + sort
+    "q47_ngram_boilerplate"   -> (2, 0), // map-side-combinable count + sort
+    // r8 widening (runtime-final basis, counts from tools/PlanCheck):
+    "q01_pricing_summary"     -> (3, 0), // two-phase COUNT DISTINCT + sort
+    "q13_sessionize"          -> (2, 0), // session window + sort
+    "q15_conll_triples"       -> (2, 0), // union sides reuse one exchange
+    "q19_canonicalize_cc"     -> (1, 0), // post-CC tail: output sort only
+    "q23_simhash"             -> (3, 0),
+    "q29_ann_lsh_buckets"     -> (3, 0),
+    "q33_cdc_chunks"          -> (2, 0),
+    // 8 counted exchanges = 4 unique + 4 reuses: the banded signature
+    // union is computed ONCE and reused by every band and by the
+    // broadcast probe side — the reuse disappearing would read
+    // shuffles>8 here
+    "q37_simhash_hamming"     -> (8, 1),
+    "q40_repetition"          -> (2, 0),
+    // three agg levels (pivot/sent/doc) + sort: the levels exchange
+    // successively SMALLER aggregated data — collapsing them into one
+    // raw-row repartition was measured slower (r8 notes §12), so 4 is
+    // the intended shape, not an accident
+    "kg_conll_text"           -> (4, 0),
+    "kg_ttl_ingest"           -> (2, 0),
+    "kg_file_ingest"          -> (1, 0)
   )
 
   private def counts(name: String): (Int, Int) = {
