@@ -43,7 +43,7 @@ object CheckpointRunner {
     def markerPath(b: Int) = manifestDir.resolve(s"bucket-$b.json")
     def isDone(b: Int) = Files.exists(markerPath(b))
 
-    for (b <- 0 until nBuckets if !isDone(b)) {
+    def runBucket(b: Int): Unit = {
       val t0 = System.nanoTime()
       val subset = docs.filter(pmod(xxhash64($"doc_id"), lit(nBuckets)) === b)
       val out = Pipeline.rewriteTriples(Pipeline.parse(subset, cols), scripts, metrics)
@@ -59,6 +59,30 @@ object CheckpointRunner {
           s""""rows":${lin.rows},"wall_ms":${lin.wall_ms},"status":"${lin.status}"}"""
       Files.write(markerPath(b), json.getBytes("UTF-8"),
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    // Overlap the independent bucket jobs (r9, guide §2.6): buckets are
+    // disjoint filters writing disjoint directories, and Spark's
+    // scheduler runs concurrent jobs FIFO so a later bucket's tasks
+    // back-fill executors freed by the current bucket's write/agg tail —
+    // the sequential loop left the cluster idle during every bucket's
+    // commit + stats read-back. 2-3 jobs in flight is the guide's
+    // recommendation: enough to fill the tail, not enough to thrash.
+    // Marker semantics are unchanged (each bucket's marker is written by
+    // its own task AFTER its parquet commit; a crash still re-runs
+    // exactly the uncommitted buckets).
+    val todo = (0 until nBuckets).filterNot(isDone)
+    if (todo.nonEmpty) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(3, todo.size))
+      try {
+        val fs = todo.map(b => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = runBucket(b)
+        }))
+        fs.foreach { f =>
+          try f.get()
+          catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+        }
+      } finally pool.shutdown()
     }
     spark.read.parquet((0 until nBuckets).map(b => s"$outDir/bucket=$b"): _*)
   }

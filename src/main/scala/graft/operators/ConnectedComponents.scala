@@ -34,6 +34,97 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Edge-count bound under which a CC fixpoint FINISHES ON THE DRIVER
+    * (r9, guide §1.2 step 1 / §2.2): an iterative round over a tiny edge
+    * set is pure fixed overhead — each round schedules 3+ exchanges, a
+    * checkpoint materialization and (on the final round) the exact
+    * convergence joins, all over data that fits in one task. Measured at
+    * sf0.1: q42's ~480-edge chain graph paid 4.5 s of warm wall for
+    * ~5 star rounds of sub-millisecond compute. The gate is the same
+    * measured-size routing the repo already uses for the gazetteer
+    * broadcast (EntityLinker.link) and the canonicalize hint: both loops
+    * already count their edges for the convergence trigger, so the probe
+    * is free. At 100 TB the INITIAL edge set exceeds any sane bound and
+    * the distributed rounds run unchanged — but the star contraction
+    * shrinks the graph geometrically, so the O(log n) TAIL rounds (tiny
+    * data, full scheduling latency) still cut over to the driver once
+    * the measured count drops under the bound. ≤500k collected edge
+    * pairs is tens of MB on the driver — the same order as a broadcast
+    * build side. Parameterized (spark.graft.cc.localMaxEdges; 0 disables)
+    * so a cluster profile can raise or kill the cutover.
+    *
+    * Exactness: the driver union-find computes the identical fixpoint
+    * (component = minimum member under the column type's ordering — the
+    * same ordering Spark's MIN uses for the supported key types), so the
+    * result is bit-identical to the distributed loop's; LocalCcSpec pins
+    * local == distributed on randomized graphs for both key types.
+    */
+  private def localMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.cc.localMaxEdges").map(_.toLong)
+      .getOrElse(500000L)
+
+  /** Orderings matching Spark's MIN/comparison semantics for the key
+    * types the CC entries use; None → no local path (defensive). */
+  private def orderingFor(dt: org.apache.spark.sql.types.DataType): Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType  => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+      case IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
+      case _           => None
+    }
+  }
+
+  /** Driver-side union-find over a collected edge list: returns one
+    * (node, minimum-of-component) row per distinct endpoint, as a
+    * DataFrame with the loop outputs' exact schema. Path-compressed,
+    * union-by-size; O(E α(E)) — sub-millisecond at the cutover bound. */
+  private def localComponents(
+      spark: SparkSession,
+      edges: Array[(Any, Any)],
+      dt: org.apache.spark.sql.types.DataType,
+      ord: Ordering[Any]): DataFrame = {
+    val idx = new java.util.HashMap[Any, Integer]()
+    val nodes = scala.collection.mutable.ArrayBuffer[Any]()
+    def id(v: Any): Int = {
+      val existing = idx.get(v)
+      if (existing != null) existing.intValue()
+      else { val i = nodes.length; idx.put(v, Integer.valueOf(i)); nodes += v; i }
+    }
+    val parent = scala.collection.mutable.ArrayBuffer[Int]()
+    val size = scala.collection.mutable.ArrayBuffer[Int]()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    for ((a, b) <- edges) {
+      val ia = id(a); val ib = id(b)
+      while (parent.length < nodes.length) { parent += parent.length; size += 1 }
+      val ra = find(ia); val rb = find(ib)
+      if (ra != rb) {
+        if (size(ra) < size(rb)) { parent(ra) = rb; size(rb) += size(ra) }
+        else { parent(rb) = ra; size(ra) += size(rb) }
+      }
+    }
+    // minimum member per root, under the column type's ordering
+    val minOf = new java.util.HashMap[Int, Any]()
+    var i = 0
+    while (i < nodes.length) {
+      val r = find(i)
+      val cur = minOf.get(r)
+      if (cur == null || ord.lt(nodes(i), cur)) minOf.put(r, nodes(i))
+      i += 1
+    }
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rows = (0 until nodes.length).map { j =>
+      org.apache.spark.sql.Row(nodes(j), minOf.get(find(j)))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("node", dt), StructField("component", dt))))
+  }
+
   /** Shuffle width for the fixpoint loops, sized from the MEASURED edge
     * count (which both loops already track for their convergence
     * triggers): ~250k edge rows per partition, floored at 1, capped at
@@ -78,7 +169,22 @@ object ConnectedComponents {
       .filter($"src" =!= $"dst")
       .distinct()
       .localCheckpoint()
-    val p = widthOverride.getOrElse(widthFor(spark, sym0.count()))
+    val symCount = sym0.count()
+    // Small-graph cutover (see localMaxEdges): the measured symmetrized
+    // edge count is already in hand for the width sizing; under the
+    // bound the whole fixpoint is one driver union-find instead of
+    // diameter-many shuffle rounds. sym0 IS the exact input graph here,
+    // so the union-find result is the exact min-label fixpoint by
+    // construction — the convergence trigger and the post-loop
+    // assertComponentLabels have nothing left to check. widthOverride
+    // (the CanonProbe A/B hook) forces the distributed loop.
+    orderingFor(sym0.schema("src").dataType) match {
+      case Some(ord) if widthOverride.isEmpty && symCount <= localMaxEdges(spark) =>
+        val es = sym0.collect().map(r => (r.get(0), r.get(1)))
+        return localComponents(spark, es, sym0.schema("src").dataType, ord)
+      case _ =>
+    }
+    val p = widthOverride.getOrElse(widthFor(spark, symCount))
     val sym = sym0.repartition(p, $"src").localCheckpoint()
 
     // seed with min(node, direct neighbors): the state after one
@@ -215,7 +321,28 @@ object ConnectedComponents {
     var eCount = e.count()
     var converged = false
     var i = 0
-    while (!converged && i < maxIter) {
+    // Small-graph cutover (see localMaxEdges): checked at every round
+    // head, because the star contraction shrinks the edge set
+    // geometrically — at 100 TB the first rounds run distributed and the
+    // O(log n) tail (tiny data, full per-round scheduling cost) finishes
+    // as one driver union-find. Components and the per-component minimum
+    // are invariants of the star rounds (edges only ever connect nodes
+    // of one component and the minimum is always retained as a target),
+    // so the union-find over the CONTRACTED edges yields the identical
+    // label set; the original-edge fixpoint assert below still runs when
+    // any distributed round contracted the graph first. eCount is the
+    // at-least-once accumulator reading: an inflated count only DELAYS
+    // the cutover by a round, never fires it early on a too-big graph
+    // (the true count is ≤ the reading... the reading is ≥ true count,
+    // so reading ≤ bound ⟹ true count ≤ bound).
+    val starOrd = orderingFor(e.schema("u").dataType)
+    val starLocalMax = localMaxEdges(spark)
+    var localOut: Option[DataFrame] = None
+    while (localOut.isEmpty && !converged && i < maxIter) {
+      if (starOrd.isDefined && eCount <= starLocalMax) {
+        val es = e.collect().map(r => (r.get(0), r.get(1)))
+        localOut = Some(localComponents(spark, es, e.schema("u").dataType, starOrd.get))
+      } else {
       // Each star pass shares ONE exchange between its aggregation and
       // its join: the adjacency is explicitly hash-partitioned on `u`
       // at the width the CURRENT edge count calls for (the count is
@@ -276,23 +403,35 @@ object ConnectedComponents {
       e = ss
       eCount = cntAcc.value
       i += 1
+      }
     }
-    // a non-converged edge set is NOT a star per component — the labels
-    // read off below would be wrong with no signal (ADVICE r4). 50
-    // rounds covers diameter 2^50; hitting the cap means a bug, not a
-    // big graph — fail loudly instead of mislabeling.
-    require(converged,
-      s"large-star/small-star CC did not converge in $maxIter rounds")
-    // converged edge set is a star per component: (node → center), with
-    // each center mapping to itself
-    val out = e.select($"u".as("node"), $"v".as("component"))
-      .union(e.select($"v".as("node"), $"v".as("component")))
-      .distinct()
-      .localCheckpoint()
-    // same belt-and-braces exactness gate as run(): the star read-off is
-    // verified against the original (deduped, checkpointed) edges, once
-    assertComponentLabels(
-      e0.select($"u".as("src"), $"v".as("dst")), out)
-    (out, i)
+    localOut match {
+      case Some(out) =>
+        // i == 0: the union-find ran on the exact (deduped) input graph —
+        // exact by construction, nothing to verify. i > 0: the read-off
+        // came from contracted edges — keep the original-edge fixpoint
+        // gate, same as the distributed exit.
+        if (i > 0) assertComponentLabels(
+          e0.select($"u".as("src"), $"v".as("dst")), out)
+        (out, i)
+      case None =>
+        // a non-converged edge set is NOT a star per component — the labels
+        // read off below would be wrong with no signal (ADVICE r4). 50
+        // rounds covers diameter 2^50; hitting the cap means a bug, not a
+        // big graph — fail loudly instead of mislabeling.
+        require(converged,
+          s"large-star/small-star CC did not converge in $maxIter rounds")
+        // converged edge set is a star per component: (node → center), with
+        // each center mapping to itself
+        val out = e.select($"u".as("node"), $"v".as("component"))
+          .union(e.select($"v".as("node"), $"v".as("component")))
+          .distinct()
+          .localCheckpoint()
+        // same belt-and-braces exactness gate as run(): the star read-off is
+        // verified against the original (deduped, checkpointed) edges, once
+        assertComponentLabels(
+          e0.select($"u".as("src"), $"v".as("dst")), out)
+        (out, i)
+    }
   }
 }

@@ -33,10 +33,31 @@ object IterativeClosure {
     *               Leave false for general DAGs / multi-parent graphs.
     * @return (node, depth) for every node reachable from a root by
     *         following child←parent edges downward. */
+  /** Edge-count bound under which the BFS runs ON THE DRIVER (r9, same
+    * measured-size cutover as ConnectedComponents.localMaxEdges): a BFS
+    * level over a small graph is one join's worth of fixed scheduling
+    * cost per LEVEL — depth-many rounds of pure overhead (q30's det
+    * token trees: 7 levels, 4.5 s warm at sf0.1 for milliseconds of
+    * compute). Under the bound the edge list and roots are collected
+    * once (the edges are already localCheckpointed — the collect is a
+    * block read, not a recompute) and the level-synchronous BFS runs in
+    * memory with IDENTICAL semantics: same forest contract check, same
+    * min-depth-on-first-reach regime, same maxIter budget failure. At
+    * 100 TB the edge table exceeds any sane bound and the distributed
+    * loop runs unchanged. Parameterized: spark.graft.bfs.localMaxEdges
+    * (0 disables). */
+  private def localMaxEdges(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.bfs.localMaxEdges").map(_.toLong)
+      .getOrElse(500000L)
+
   def depths(spark: SparkSession, edges: DataFrame, roots: DataFrame,
              maxIter: Int = 64, forest: Boolean = false): DataFrame = {
     import spark.implicits._
     val e = edges.select($"child", $"parent").localCheckpoint()
+    val eCount = e.count()
+    if (eCount <= localMaxEdges(spark)) {
+      return localDepths(spark, e, roots, maxIter, forest)
+    }
     // the forest contract is load-bearing (it justifies skipping the
     // seen-filter, and a multi-parent child would re-enter the frontier
     // every round as silently duplicated rows) — verify it against the
@@ -93,5 +114,68 @@ object IterativeClosure {
       s"BFS closure did not drain the frontier in $maxIter rounds — " +
         "path length exceeds the budget (or a root-reachable cycle)")
     labeled
+  }
+
+  /** Driver-side level-synchronous BFS — the small-graph cutover body.
+    * Semantics mirror the distributed loop exactly: same forest-contract
+    * check (row counts per child, not distinct parents), forest mode
+    * propagates WITHOUT a seen-filter (a root that is also some node's
+    * child is re-emitted at its reached depth, as the distributed join
+    * does), DAG mode labels each node once at its minimum depth, and an
+    * undrained frontier after maxIter rounds fails with the same loud
+    * message. */
+  private def localDepths(spark: SparkSession, e: DataFrame, roots: DataFrame,
+                          maxIter: Int, forest: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val es = e.collect()
+    if (forest) {
+      val perChild = new java.util.HashMap[Any, Integer]()
+      es.foreach { r =>
+        val c = r.get(0)
+        val n = perChild.get(c)
+        perChild.put(c, if (n == null) 1 else n + 1)
+      }
+      val it = perChild.values().iterator()
+      var multi = false
+      while (it.hasNext && !multi) multi = it.next() > 1
+      require(!multi,
+        "forest=true but a child has multiple parents — use forest=false " +
+          "for DAG/multi-parent inputs")
+    }
+    val children = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Any]]()
+    es.foreach { r =>
+      var b = children.get(r.get(1))
+      if (b == null) { b = scala.collection.mutable.ArrayBuffer[Any](); children.put(r.get(1), b) }
+      b += r.get(0)
+    }
+    val rootVals = roots.select(org.apache.spark.sql.functions.col("node"))
+      .distinct().collect().map(_.get(0))
+    val nodeDt = roots.select(org.apache.spark.sql.functions.col("node"))
+      .schema.head.dataType
+    val labeled = scala.collection.mutable.ArrayBuffer[(Any, Int)]()
+    val seen = new java.util.HashSet[Any]()
+    rootVals.foreach { v => labeled += ((v, 0)); if (!forest) seen.add(v) }
+    var frontier: Seq[(Any, Int)] = rootVals.toSeq.map(v => (v, 0))
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      val reached = frontier.flatMap { case (n, d) =>
+        val cs = children.get(n)
+        if (cs == null) Nil else cs.map(c => (c, d + 1))
+      }
+      val next =
+        if (forest) reached
+        else reached.filter { case (n, _) => seen.add(n) } // first reach = min depth (level order)
+      if (next.isEmpty) done = true
+      else { labeled ++= next; frontier = next }
+      i += 1
+    }
+    require(done,
+      s"BFS closure did not drain the frontier in $maxIter rounds — " +
+        "path length exceeds the budget (or a root-reachable cycle)")
+    val rows = labeled.map { case (n, d) => org.apache.spark.sql.Row(n, d) }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("node", nodeDt), StructField("depth", IntegerType))))
   }
 }

@@ -338,6 +338,11 @@ object DedupQueries {
         val bits = (0 until 16).map(i =>
           when(col(s"s$i") * 2 > col("n"), "1").otherwise("0"))
         val sigs = agg.select($"doc_id", concat(bits: _*).as("sig"))
+        // NOT rewritten to the q22 explode(array(struct)) banding (r9
+        // negative result): measured 1.24 s floor vs 1.16 s for this
+        // union form — runtime exchange reuse already deduplicates the
+        // 4 branches (r8 audit: 4 unique + 4 reused), so the explode
+        // only changed plan text, not work. Kept as the audited shape.
         val bands = (0 until 4).map(b =>
           sigs.select($"doc_id", $"sig", lit(b).as("band"),
             substring($"sig", b * 4 + 1, 4).as("bucket")))
@@ -436,31 +441,43 @@ object DedupQueries {
       "q44_langid_bigram",
       (s, dir) => {
         import s.implicits._
-        val prof = langProfiles.toDF("lang", "bigram")
-        // localCheckpoint: the frame feeds BOTH the bigram-explode branch
-        // and the per-doc lang grid — without it each branch re-scans and
-        // re-repartitions the corpus
+        // NARROW formulation (r9, guide §2.4/§2.3): the old plan exploded
+        // one row per character position, broadcast-joined the profile,
+        // re-grouped (doc, lang) partials, left-joined a per-doc lang
+        // grid and ran a per-doc window for the argmax — 5 exchanges and
+        // 3 broadcasts to score 4 fixed profiles against each document.
+        // Per-lang hit counts are a per-ROW computation (the q21/q22
+        // shingle lesson): slice the bigram array once with
+        // transform(sequence), count profile membership per language with
+        // size(filter(...)), and take the argmax with one array_min over
+        // (−score, lang, hits) structs — exactly row_number()'s
+        // (score DESC, lang ASC) order, ties included. Zero joins, zero
+        // windows, zero corpus shuffles before the output sort; per-doc
+        // work is identical at 100 TB and parallelizes with the scan.
+        // Results are bit-identical: hits = COUNT of matching positions,
+        // score = round(hits/n, 6) computed from the same long/bigint
+        // division (the winner's score is recomputed from its hits, not
+        // un-negated, so 0.0 can never surface as -0.0).
+        val langs = langProfiles.map(_._1).distinct.sorted
+        val inSet: Map[String, String] = langs.map { l =>
+          l -> langProfiles.filter(_._1 == l).map("'" + _._2 + "'").mkString("(", ",", ")")
+        }.toMap
+        val hitCols = langs.map { l =>
+          expr(s"cast(size(filter(bg, x -> x in ${inSet(l)})) as bigint)").as(s"h_$l")
+        }
         val docs = Tables.widened(s, dir, "documents")
           .select($"doc_id", lower($"text").as("t"))
           .filter(length($"t") >= 2)
-          .select($"doc_id", $"t", (length($"t") - 1).cast("bigint").as("n"))
-          .localCheckpoint()
-        val hits = docs
-          .select($"doc_id", $"n",
-            explode(sequence(lit(1), length($"t") - 1)).as("i"), $"t")
-          .select($"doc_id", $"n", expr("substring(t, i, 2)").as("bigram"))
-          .join(broadcast(prof), "bigram")
-          .groupBy($"doc_id", $"n", $"lang").agg(count(lit(1)).as("hits"))
-        val scored = docs.select($"doc_id", $"n")
-          .crossJoin(broadcast(prof.select($"lang").distinct()))
-          .join(hits, Seq("doc_id", "n", "lang"), "left_outer")
-          .na.fill(0L, Seq("hits"))
-          .withColumn("score", round($"hits" / $"n", 6))
-        val w = Window.partitionBy($"doc_id")
-          .orderBy($"score".desc, $"lang".asc)
-        scored.withColumn("rk", row_number().over(w))
-          .filter($"rk" === 1)
-          .select($"doc_id", $"lang".as("lang_guess"), $"hits", $"score")
+          .select($"doc_id", (length($"t") - 1).cast("bigint").as("n"),
+            expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))").as("bg"))
+          .select($"doc_id" +: $"n" +: hitCols: _*)
+        val winner = array_min(array(langs.map { l =>
+          struct((-round(col(s"h_$l") / $"n", 6)).as("negs"), lit(l).as("lang"),
+            col(s"h_$l").as("hits"))
+        }: _*))
+        docs.select($"doc_id", $"n", winner.as("w"))
+          .select($"doc_id", $"w.lang".as("lang_guess"), $"w.hits".as("hits"),
+            round($"w.hits" / $"n", 6).as("score"))
           .orderBy($"doc_id")
       },
       Some({

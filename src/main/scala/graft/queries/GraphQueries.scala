@@ -348,6 +348,48 @@ object GraphQueries {
           .select($"src", pmod($"src" * (lit(7L) + $"b"), lit(m)).as("dst"))
           .filter($"src" =!= $"dst").distinct()
           .localCheckpoint()
+        // Small-graph driver evaluation (r9; the ConnectedComponents
+        // localMaxEdges cutover applied to the fixed-round rank loop):
+        // 5 rounds × ~5 scheduled jobs over an under-bound graph is
+        // pure fixed overhead. All arithmetic is already integer-scaled
+        // BIGINT (that was the r6 bit-reproducibility design), so the
+        // driver evaluation is exactly the distributed one: same
+        // truncating div, same dangling-mass share, same 5 rounds.
+        // Edge count is measured on the checkpointed edges (block scan);
+        // over the bound — any real corpus — the loop below runs
+        // unchanged. Parameterized: spark.graft.pr.localMaxEdges.
+        val prLocalMax = s.conf.getOption("spark.graft.pr.localMaxEdges")
+          .map(_.toLong).getOrElse(500000L)
+        if (edges.count() <= prLocalMax) {
+          val es = edges.as[(Long, Long)].collect()
+          val deg = scala.collection.mutable.HashMap[Long, Long]()
+          val nodeSet = scala.collection.mutable.SortedSet[Long]()
+          es.foreach { case (a, b) =>
+            deg.update(a, deg.getOrElse(a, 0L) + 1L); nodeSet += a; nodeSet += b
+          }
+          val nN = math.max(1L, nodeSet.size.toLong)
+          var pr = scala.collection.mutable.HashMap[Long, Long]()
+          nodeSet.foreach(n => pr.update(n, 1000000L))
+          for (_ <- 1 to 5) {
+            val c = scala.collection.mutable.HashMap[Long, Long]()
+            es.foreach { case (a, b) =>
+              c.update(b, c.getOrElse(b, 0L) + pr(a) / deg(a))
+            }
+            var dsum = 0L
+            pr.foreach { case (n, v) => if (!deg.contains(n)) dsum += v }
+            val dsh = dsum / nN
+            val next = scala.collection.mutable.HashMap[Long, Long]()
+            nodeSet.foreach(n =>
+              next.update(n, 150000L + ((c.getOrElse(n, 0L) + dsh) * 85L) / 100L))
+            pr = next
+          }
+          val rows = nodeSet.toSeq.map(n => org.apache.spark.sql.Row(n, pr(n)))
+          import org.apache.spark.sql.types.{LongType, StructField, StructType}
+          s.createDataFrame(
+            s.sparkContext.parallelize(rows.toSeq, 1),
+            StructType(Seq(StructField("node", LongType), StructField("pr", LongType))))
+            .orderBy($"pr".desc, $"node")
+        } else {
         val deg = edges.groupBy($"src").agg(count(lit(1)).as("d"))
         // degree folded into the adjacency once — the loop never re-joins it
         val adj = edges.join(deg, "src").localCheckpoint()
@@ -373,6 +415,7 @@ object GraphQueries {
             .localCheckpoint()
         }
         pr.orderBy($"pr".desc, $"node")
+        }
         }
       },
       Some {

@@ -228,9 +228,21 @@ object KgQueries {
       "kg_ttl_ingest",
       (s, dir) => {
         import s.implicits._
-        val parsed = detParsed(s, dir)
-        val ttlDocs = parsed.groupByKey(_.docId).mapGroups { (id, sents) =>
-          (id, Serializers.toCanonicalTtlDocument(sents.toSeq, KgOracle.detCols, s"urn:graft:$id#"))
+        // NARROW document rendering (r9, guide §2.4): the serialize side
+        // previously parsed into Dataset[Sentence] and re-assembled
+        // documents with groupByKey(_.docId).mapGroups — one corpus-wide
+        // shuffle of every sentence object, purely to regroup rows that
+        // the per-document parse had just emitted together. Rendering
+        // the TTL document inside the same per-doc map (parseDoc yields
+        // exactly that doc's sentences; toCanonicalTtlDocument sorts by
+        // sentence number itself, so the regroup carried no information)
+        // removes the exchange: the whole serialize→reingest→analyze
+        // roundtrip is now shuffle-free up to the output sort. Output is
+        // bit-identical — same sentences per document, same sort.
+        val ttlDocs = KgOracle.detDocs(s, dir).map { d =>
+          (d.doc_id, Serializers.toCanonicalTtlDocument(
+            SpanParser.parseDoc(d, KgOracle.detCols), KgOracle.detCols,
+            s"urn:graft:${d.doc_id}#"))
         }
         Pipeline.rewriteTriples(Pipeline.parseTtl(ttlDocs), Pipeline.analyzeCascade)
           .toDF().orderBy(col("doc_id"), col("subj"), col("pred"), col("obj"))

@@ -60,13 +60,23 @@ object StreamQueries {
         val in = s"$base/in"
         val schema = Tables.events(s, dir).schema
         val stream = s.readStream.schema(schema).parquet(in)
+        // state width follows MEASURED input bytes (r9): the windowed
+        // aggregation's state keyspace is (#windows × event types) and
+        // its downstream work is nil, so a session-width state layout
+        // (= core count under the bench) just multiplies per-batch
+        // state-store commits and sink files by the core count; see
+        // StreamingPipeline.adaptiveStateWidth. kg_stream_assemble
+        // deliberately does NOT take this: its state operator feeds the
+        // per-doc parse+cascade, which a byte-sized (narrow) width would
+        // serialize — downstream compute dominates there.
         StreamingPipeline.drainToParquet(
             StreamingPipeline.windowedEventCounts(stream)
               .select(
                 unix_timestamp(col("window.start")).as("ws"),
                 unix_timestamp(col("window.end")).as("we"),
                 col("event_type"), col("n"), col("v")),
-            base)
+            base,
+            stateWidth = Some(StreamingPipeline.adaptiveStateWidth(s, in)))
           .orderBy(col("ws"), col("event_type"))
       },
       Some("""WITH e AS (

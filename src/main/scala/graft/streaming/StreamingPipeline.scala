@@ -134,25 +134,64 @@ object StreamingPipeline {
       }
   }
 
+  /** Shuffle/state width for a stateful streaming query, sized from the
+    * MEASURED input bytes (r9; the ConnectedComponents.widthFor policy
+    * applied to streaming state): `spark.sql.shuffle.partitions` is what
+    * fixes a stateful operator's state-store count at first batch, and a
+    * session-width default (= core count under the bench harness) means
+    * every micro-batch commits core-count state files and schedules
+    * core-count tasks REGARDLESS of data volume — fixed overhead per
+    * batch for a keyspace that may fit in one store, and a pinned
+    * constant that does NOT grow with a 100 TB keyspace. Width follows
+    * data instead: ceil(input bytes / target-bytes-per-partition),
+    * floored at 1, capped at 4× the session parallelism (the widthFor
+    * cap). Parameterized: spark.graft.stream.targetPartitionBytes
+    * (default 64 MB). */
+  def adaptiveStateWidth(spark: SparkSession, inputDir: String): Int = {
+    val target = spark.conf.getOption("spark.graft.stream.targetPartitionBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles).getOrElse(Array.empty[java.io.File]).map(walk).sum
+    val bytes = walk(new java.io.File(inputDir))
+    val p = math.ceil(bytes.toDouble / target.toDouble).toLong
+    math.max(1L, math.min(p, spark.sparkContext.defaultParallelism * 4L)).toInt
+  }
+
   /** Drive a streaming DataFrame to completion into an exactly-once
     * parquet sink under `base` and return the materialized result:
     * `base/out` + `base/cp` are cleared first so the query
     * deterministically reprocesses ALL available input (the resume
     * contract itself is covered by the checkpoint-resume gate). Shared
-    * by the driver-gated streaming registry entries. */
-  def drainToParquet(df: DataFrame, base: String): DataFrame = {
+    * by the driver-gated streaming registry entries.
+    *
+    * `stateWidth` (r9): when set, `spark.sql.shuffle.partitions` is
+    * pinned to it for the DURATION OF THE QUERY (set before start,
+    * restored after termination — the streaming engine captures the conf
+    * at query start and writes it into the checkpoint, so this is the
+    * one seam where a stateful query's width can follow data; see
+    * [[adaptiveStateWidth]]). Results are width-invariant — only the
+    * state-store count and sink file layout change. */
+  def drainToParquet(df: DataFrame, base: String,
+                     stateWidth: Option[Int] = None): DataFrame = {
     val outP = s"$base/out"
     val cp = s"$base/cp"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outP))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(cp))
-    val q = df.writeStream
-      .format("parquet")
-      .option("path", outP)
-      .option("checkpointLocation", cp)
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val spark = df.sparkSession
+    val widthKey = "spark.sql.shuffle.partitions"
+    val prevWidth = stateWidth.map(_ => spark.conf.get(widthKey))
+    stateWidth.foreach(w => spark.conf.set(widthKey, w.toString))
+    try {
+      val q = df.writeStream
+        .format("parquet")
+        .option("path", outP)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prevWidth.foreach(spark.conf.set(widthKey, _))
     df.sparkSession.read.parquet(outP)
   }
 

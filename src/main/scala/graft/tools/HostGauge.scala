@@ -109,13 +109,20 @@ object HostGauge {
       val buf = java.nio.ByteBuffer.allocateDirect(Chunk + Align).alignedSlice(Align)
       val t0 = System.nanoTime()
       var pos = 0L
-      while (pos < CanaryBytes) {
+      var eof = false
+      while (pos < CanaryBytes && !eof) {
         buf.clear()
         val n = ch.read(buf, pos)
-        if (n <= 0) pos = CanaryBytes else pos += n
+        if (n <= 0) eof = true else pos += n
       }
       val s = (System.nanoTime() - t0) / 1e9
-      (CanaryBytes / 1048576.0 / s, isDirect)
+      // divide ACTUAL bytes read, not the 1 GiB target (ADVICE r9): an
+      // early EOF (canary truncated/removed by /tmp cleanup) previously
+      // inflated the reading — a broken probe classified as a healthy
+      // window. A short read now yields the true (low) throughput of
+      // whatever was read, and a zero-byte probe reads 0.0 MB/s — both
+      // err toward "degraded", never toward a fake clean window.
+      (pos / 1048576.0 / s, isDirect)
     } finally ch.close()
   }
 

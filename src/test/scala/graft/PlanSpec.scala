@@ -49,18 +49,24 @@ class PlanSpec extends AnyFunSuite {
     * it would show up as broadcasts-1 AND shuffles+1). */
   private val expected: Map[String, (Int, Int)] = Map(
     "q21_minhash_sigs" -> (1, 0), // narrow shingle pipeline: output sort only
-    // bucket window + band self-join + distinct + sort. Runtime-final
-    // basis (r8): two of the three pair→set broadcasts live inside the
-    // cached candidate subtree and print as TableCacheQueryStage leaves
-    // — only the band-join broadcast appears at top level
-    "q22_lsh_jaccard"  -> (4, 1),
-    "q43_lsh_r2"       -> (4, 1), // same chain at 4×2 banding
+    // bucket window + band self-join + distinct + sort. Broadcasts are
+    // counted INCLUDING cached subtrees (r9, ADVICE r8): the three
+    // broadcast joins (band self-join + two pair→set) sit around the
+    // persisted shingle-set cache, and WHERE the cache boundary lands at
+    // runtime is timing-dependent — the r8 top-level-only pin of 1 read
+    // 0 whenever all three landed inside the TableCacheQueryStage (one
+    // full-suite flake). The TOTAL is the invariant; a broadcast
+    // degrading to a shuffle join now reads 2 regardless of boundary
+    "q22_lsh_jaccard"  -> (4, 3),
+    "q43_lsh_r2"       -> (4, 3), // same chain at 4×2 banding
     "q14_tokenize"     -> (1, 0),
     "q24_langid"       -> (2, 0),
     "q20_dedup_exact"  -> (2, 0), // hash-group + output sort
-    // (doc,lang) partials; profile + argmax broadcasts, plus a third
-    // SMJ→BHJ conversion AQE only makes at runtime (visible post-r8)
-    "q44_langid_bigram" -> (5, 3),
+    // r9 narrow rewrite: per-doc bigram array + per-lang size(filter)
+    // + array_min argmax — zero joins/windows, output sort only. The
+    // old shape was (5, 3): explode → profile broadcast → (doc,lang)
+    // partials → grid left-join → per-doc window
+    "q44_langid_bigram" -> (1, 0),
     "q41_decontaminate" -> (4, 2), // broadcast n-gram probe, corpus side narrow
     "q31_ann_ivf"      -> (2, 0), // zero-shuffle assignment; per-partition top-k + sort
     "q48_pagerank"     -> (1, 0), // post-loop tail: output sort
@@ -115,7 +121,30 @@ class PlanSpec extends AnyFunSuite {
     "kg_file_ingest"          -> (1, 0)
   )
 
+  /** Count exchanges by TRAVERSING the executed plan tree (r9, ADVICE
+    * r8): the r8 text-regex count was blind to (a) broadcasts whose
+    * build side sits under a TableCacheQueryStage — where the cache
+    * boundary lands at runtime is timing-dependent, which made the
+    * persist-backed LSH pins flaky — and (b) anything past the point
+    * where a nested InMemoryRelation's inline plan text breaks the
+    * outer tree rendering (q22's two pair→set BroadcastExchanges were
+    * simply absent from the string). The walk steps through the
+    * children-opaque wrappers explicitly (AdaptiveSparkPlan →
+    * executedPlan, query stages → plan, InMemoryTableScan →
+    * relation.cachedPlan). Counting rules keep the r8 pin semantics:
+    * shuffles = non-round-robin ShuffleExchange nodes OUTSIDE cached
+    * subtrees (a cached exchange executes once per materialization,
+    * and round-robin is Tables.widened's small-file guard, excluded
+    * as before); broadcasts = ALL BroadcastExchange nodes including
+    * cached subtrees (the invariant total); ReusedExchange is a reuse,
+    * not a new exchange. Stage reuse walks the shared stage again —
+    * same double-count the text had, and shuffle pins are upper bounds. */
   private def counts(name: String): (Int, Int) = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning
     val df = SparkEntry.queries(name)(spark, dir)
     // execute df's OWN plan: df.count() finalizes the count's separate
     // QueryExecution, leaving this one isFinalPlan=false — the pre-r8
@@ -123,14 +152,28 @@ class PlanSpec extends AnyFunSuite {
     // AQE's runtime SMJ→BHJ conversions (e.g. kg_entity_canonical's
     // canonicalize join, which AQE broadcasts at runtime)
     df.queryExecution.toRdd.count()
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==")(0) // finalized AQE toString appends the initial tree too — count the final section only
-    def c(p: String) = p.r.findAllIn(plan).length
-    val r = (c("Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition"),
-      c("BroadcastExchange"))
+    var shuffles = 0
+    var bcasts = 0
+    def walk(p: SparkPlan, inCache: Boolean): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan, inCache)
+        case q: QueryStageExec => walk(q.plan, inCache)
+        case t: InMemoryTableScanExec => walk(t.relation.cachedPlan, inCache = true)
+        case s: ShuffleExchangeExec =>
+          s.outputPartitioning match {
+            case _: RoundRobinPartitioning => ()
+            case _ => if (!inCache) shuffles += 1
+          }
+        case _: BroadcastExchangeExec => bcasts += 1
+        case _: ReusedExchangeExec => ()
+        case _ =>
+      }
+      p.children.foreach(walk(_, inCache))
+    }
+    walk(df.queryExecution.executedPlan, inCache = false)
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-    r
+    (shuffles, bcasts)
   }
 
   expected.toSeq.sortBy(_._1).foreach { case (name, (maxShuffles, nBroadcasts)) =>

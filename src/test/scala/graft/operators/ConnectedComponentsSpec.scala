@@ -3,11 +3,22 @@ package graft.operators
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Min-label propagation vs the large-star/small-star variant: same
-  * components, very different round counts on high-diameter graphs. */
-class ConnectedComponentsSpec extends AnyFunSuite {
+  * components, very different round counts on high-diameter graphs.
+  *
+  * The small-graph driver cutover (r9) is DISABLED for this suite
+  * (localMaxEdges = 0) so these tests keep exercising the distributed
+  * loops — every graph here is under the production cutover bound and
+  * would otherwise route to the driver union-find. The cutover itself
+  * (local == distributed) is pinned in LocalCcSpec. */
+class ConnectedComponentsSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
 
   private val spark = graft.TestSpark.spark
   import spark.implicits._
+
+  override def beforeAll(): Unit =
+    spark.conf.set("spark.graft.cc.localMaxEdges", "0")
+  override def afterAll(): Unit =
+    spark.conf.unset("spark.graft.cc.localMaxEdges")
 
   private def n(i: Int) = f"n$i%04d" // lexicographic == numeric
 

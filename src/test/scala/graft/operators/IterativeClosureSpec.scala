@@ -7,9 +7,17 @@ import graft.TestSpark
   * the general regime on single-parent inputs, and the general regime
   * must keep handling multi-path DAGs (min depth) that forest mode is
   * NOT contracted for. */
-class IterativeClosureSpec extends AnyFunSuite {
+class IterativeClosureSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  // keep this suite on the DISTRIBUTED loop (the r9 small-graph driver
+  // cutover would otherwise take every graph here); local == distributed
+  // is pinned in LocalCcSpec
+  override def beforeAll(): Unit =
+    spark.conf.set("spark.graft.bfs.localMaxEdges", "0")
+  override def afterAll(): Unit =
+    spark.conf.unset("spark.graft.bfs.localMaxEdges")
 
   private def run(edges: Seq[(String, String)], roots: Seq[String],
                   forest: Boolean): Map[String, Int] =

@@ -91,6 +91,16 @@ class PageRankSpec extends AnyFunSuite {
     assert(reference != prOld, "dangling share changed no rank — term vacuous")
   }
 
+  test("distributed loop (r9 cutover disabled) is byte-identical to the local path") {
+    // the small-graph driver evaluation (spark.graft.pr.localMaxEdges)
+    // takes every graph this spec builds — force the distributed rounds
+    // and pin both regimes to the same ranks
+    val a = runEntry()
+    spark.conf.set("spark.graft.pr.localMaxEdges", "0")
+    try assert(runEntry() == a, "distributed loop != local path")
+    finally spark.conf.unset("spark.graft.pr.localMaxEdges")
+  }
+
   test("ranks are byte-identical across shuffle widths") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val a = runEntry()
