@@ -85,10 +85,44 @@ object Rules {
 
   /** Precompiled SPARQL regex() predicate (partial match, like Jena's
     * regex()) — compile once at script construction; a per-call pattern
-    * cache lookup costs ~100M map probes per 100k-doc run. */
+    * cache lookup costs ~100M map probes per 100k-doc run.
+    *
+    * r9 literal fast path (guide §1.2 step 2): the bundled rules'
+    * regex() predicates are almost all plain literal alternations
+    * ("NOUN|PROPN|PRON"), optionally anchored and grouped
+    * ("^(conj|parataxis|flat)"). For exactly that class, find() reduces
+    * to startsWith/contains over the alternatives — no Matcher
+    * allocation, no backtracking machinery (regex internals were ~25%
+    * of the analyze cascade's execution samples). Eligibility is
+    * conservative: only [letter digit _ :] literals and '|', parens
+    * balanced, and an anchor is only honored when the whole alternation
+    * is grouped (in "^a|b" the anchor binds to the FIRST alternative
+    * only — that shape keeps java.util.regex). Everything else keeps
+    * java.util.regex unchanged. */
   final class Re(p: String) extends (String => Boolean) with Serializable {
     @transient private lazy val pattern = Pattern.compile(p)
-    def apply(v: String): Boolean = pattern.matcher(v).find()
+    private val fast: Option[(Boolean, Array[String])] = {
+      var s = p
+      val anchored = s.startsWith("^")
+      if (anchored) s = s.substring(1)
+      val wrapped = s.length >= 2 && s.startsWith("(") && s.endsWith(")")
+      if (wrapped) s = s.substring(1, s.length - 1)
+      val literal = s.nonEmpty &&
+        s.forall(c => c.isLetterOrDigit || c == '_' || c == ':' || c == '|') &&
+        !s.startsWith("|") && !s.endsWith("|") && !s.contains("||")
+      val anchorSafe = !anchored || wrapped || !s.contains('|')
+      if (literal && anchorSafe) Some((anchored, s.split("\\|"))) else None
+    }
+    def apply(v: String): Boolean = fast match {
+      case Some((anchored, alts)) =>
+        var i = 0
+        while (i < alts.length) {
+          if (if (anchored) v.startsWith(alts(i)) else v.contains(alts(i))) return true
+          i += 1
+        }
+        false
+      case None => pattern.matcher(v).find()
+    }
   }
   def rex(p: String): Re = new Re(p)
 
