@@ -121,18 +121,31 @@ object DedupQueries {
       struct(lit(j).as("band"), key.as("bucket"))
     }
     val wB = Window.partitionBy($"band", $"bucket")
-    val banded = sets
+    // measured-width exchanges (r9, Tables.byteWidth): the bucket window
+    // and the band self-join share one explicit (band,bucket) exchange
+    // sized from the source bytes, and the candidate dedup rides an
+    // explicit (a,b) exchange at the same width (the runStar dedup
+    // pattern — the aggregate sees its clustering satisfied and inserts
+    // no session-width shuffle). Banding rows are strictly narrower than
+    // the source text, so the session default scheduled core-count-wide
+    // shuffles for kilobytes of keys; p <= 0 (conf-disabled) keeps the
+    // implicit session-width shape.
+    val p = Tables.byteWidth(s, dir, "documents")
+    val banded0 = sets
       .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.bucket".as("bucket"))
+    val banded = (if (p > 0) banded0.repartition(p, $"band", $"bucket") else banded0)
       .withColumn("bn", count(lit(1)).over(wB))
       .filter($"bn" <= 100)
       .drop("bn")
-    val candidates = banded
+    val cand0 = banded
       .alias("l").join(banded.alias("r"),
         col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
           col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
-      .distinct()
+    val candidates =
+      if (p > 0) cand0.repartition(p, $"a", $"b").dropDuplicates()
+      else cand0.distinct()
     // exact verification: set intersection as a narrow array op on the
     // joined pair row — replaces the explode-join-regroup (two wide
     // joins + an aggregation) of the exploded formulation
@@ -300,7 +313,12 @@ object DedupQueries {
           .agg(bitSums.head, (bitSums.tail :+ count(lit(1)).as("n")): _*)
         val bits = (0 until 8).map(i =>
           when(col(s"s$i") * 2 > col("n"), "1").otherwise("0"))
-        agg.withColumn("simhash", concat(bits: _*))
+        // measured-width bucket window (r9, Tables.byteWidth): one
+        // signature row per doc, so the bucket-size window's exchange is
+        // sized from the source bytes instead of the session default
+        val p = Tables.byteWidth(s, dir, "documents")
+        val sigd = agg.withColumn("simhash", concat(bits: _*))
+        (if (p > 0) sigd.repartition(p, $"simhash") else sigd)
           .withColumn("bucket_size",
             count(lit(1)).over(Window.partitionBy($"simhash")))
           .select($"doc_id", $"simhash", $"bucket_size")
@@ -346,18 +364,28 @@ object DedupQueries {
         val bands = (0 until 4).map(b =>
           sigs.select($"doc_id", $"sig", lit(b).as("band"),
             substring($"sig", b * 4 + 1, 4).as("bucket")))
-        val banded = bands.reduce(_ unionByName _)
+        // measured-width exchanges (r9, Tables.byteWidth — the
+        // lshJaccardPairs pattern): bucket window + band self-join share
+        // one explicit (band,bucket) exchange; the candidate dedup rides
+        // an explicit (a,b) exchange ((a,b) ⊆ the dedup keys, so the
+        // aggregate's clustering is satisfied with no further shuffle).
+        // Same-window interleaved pair at sf0.1: 1.80 → 1.38 s floor.
+        val p = Tables.byteWidth(s, dir, "documents")
+        val banded0 = bands.reduce(_ unionByName _)
+        val banded = (if (p > 0) banded0.repartition(p, $"band", $"bucket") else banded0)
           .withColumn("bn",
             count(lit(1)).over(Window.partitionBy($"band", $"bucket")))
           .filter($"bn" <= 100)
           .drop("bn")
-        val cand = banded.alias("l")
+        val cand0 = banded.alias("l")
           .join(banded.alias("r"),
             col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
               col("l.doc_id") < col("r.doc_id"))
           .select(col("l.doc_id").as("a"), col("l.sig").as("sa"),
             col("r.doc_id").as("b"), col("r.sig").as("sb"))
-          .distinct()
+        val cand =
+          if (p > 0) cand0.repartition(p, $"a", $"b").dropDuplicates()
+          else cand0.distinct()
         val hamming = (0 until 16).map(i =>
           when(substring($"sa", i + 1, 1) =!= substring($"sb", i + 1, 1), 1L)
             .otherwise(0L)).reduce(_ + _)
@@ -578,7 +606,7 @@ object DedupQueries {
             Seq((id, v), (id + 1000000L, c))
           } else Seq((id, v))
         }
-        val bucketed = aug.map { case (id, v) =>
+        val bucketed0 = aug.map { case (id, v) =>
           val ps = pB.value
           var bits = 0
           var p = 0
@@ -594,6 +622,10 @@ object DedupQueries {
           }
           (id, bits, v)
         }.toDF("vec_id", "bucket", "emb")
+        // measured-width bucket exchange (r9, Tables.byteWidth): the cap
+        // window and the bucket self-join below share it
+        val p = Tables.byteWidth(s, dir, "embeddings")
+        val bucketed = (if (p > 0) bucketed0.repartition(p, $"bucket") else bucketed0)
           .withColumn("bn", count(lit(1)).over(Window.partitionBy($"bucket")))
           .filter($"bn" <= 100)
           .drop("bn")

@@ -17,14 +17,22 @@ object ExplainDump {
     val sfDir = args(2)
     val names = args(3).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GRAFT_EXTRA_CONF=k=v[,k=v...]: extra session confs — lets a
+    // "before" dump pin an A/B lever (e.g.
+    // spark.graft.sql.targetPartitionBytes=-1 for the pre-r9
+    // implicit-width shape)
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (n <- names) {

@@ -17,10 +17,18 @@ object ExplainOne {
     val positional = args.filterNot(_.startsWith("--"))
     val sfDir = if (positional.length > 1) positional(1) else "/root/testdata/sf0.01"
     val aqe = args.contains("--aqe")
-    val spark = SparkSession.builder().master("local[8]")
+    val builder = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // GRAFT_EXTRA_CONF=k=v[,k=v...]: extra session confs — lets the plan
+    // dumps pin A/B levers (e.g. spark.graft.sql.targetPartitionBytes=-1
+    // for the pre-r9 implicit-width shape)
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     if (aqe) {
